@@ -1,0 +1,118 @@
+"""Hu2018 decoder (D + MFF + R) and the assembled Hu model (NHWC flax).
+
+Behavioural twin of ReSIDE/models/modules.py:16-298 and net.py:17-39:
+
+  * ``UpProjection``: bilinear-upsample (align_corners=True, exact matmul
+    form) feeding two conv branches (5×5→BN→ReLU→3×3→BN and 5×5→BN), summed,
+    ReLU.  The upsample-as-matmul + conv pipeline keeps everything on the MXU.
+  * ``D``: 1×1 channel-halving conv then 4 chained UpProjections, each
+    halving channels and growing to the next block's spatial size, the last
+    one 2× beyond block1.
+  * ``MFF``: each block tap upsampled to the decoder size via UpProjection to
+    16 channels, concatenated (64), 5×5 conv + BN + ReLU.
+  * ``R``: two 5×5 conv+BN+ReLU then a 5×5 conv to 1 depth channel.
+  * ``HuDepthModel``: out = R(concat(D(taps), MFF(taps))) — output is half
+    the input resolution (114×152 for 228×304 inputs).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from efficientdepthestimation_tpu.models.common import BatchNorm, Conv
+from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
+
+__all__ = ["UpProjection", "DecoderD", "MFF", "RefineR", "HuDepthModel"]
+
+
+class UpProjection(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, size: tuple[int, int], train: bool = False):
+        x = resize_bilinear_align_corners(x, size)
+        b1 = Conv(self.features, (5, 5), (1, 1), 2, use_bias=False, name="conv1")(x)
+        b1 = BatchNorm(name="bn1")(b1, use_running_average=not train)
+        b1 = nn.relu(b1)
+        b1 = Conv(self.features, (3, 3), (1, 1), 1, use_bias=False, name="conv1_2")(b1)
+        b1 = BatchNorm(name="bn1_2")(b1, use_running_average=not train)
+        b2 = Conv(self.features, (5, 5), (1, 1), 2, use_bias=False, name="conv2")(x)
+        b2 = BatchNorm(name="bn2")(b2, use_running_average=not train)
+        return nn.relu(b1 + b2)
+
+
+class DecoderD(nn.Module):
+    num_features: int
+
+    @nn.compact
+    def __call__(self, taps: Sequence[jax.Array], train: bool = False):
+        b1, b2, b3, b4 = taps
+        f = self.num_features // 2
+        x = Conv(f, (1, 1), (1, 1), 0, use_bias=False, name="conv")(b4)
+        x = BatchNorm(name="bn")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = UpProjection(f // 2, name="up1")(x, b3.shape[1:3], train)
+        x = UpProjection(f // 4, name="up2")(x, b2.shape[1:3], train)
+        x = UpProjection(f // 8, name="up3")(x, b1.shape[1:3], train)
+        x = UpProjection(f // 16, name="up4")(
+            x, (b1.shape[1] * 2, b1.shape[2] * 2), train
+        )
+        return x
+
+
+class MFF(nn.Module):
+    num_features: int = 64
+
+    @nn.compact
+    def __call__(self, taps: Sequence[jax.Array], size: tuple[int, int],
+                 train: bool = False):
+        ups = []
+        for i, tap in enumerate(taps):
+            ups.append(UpProjection(16, name=f"up{i + 1}")(tap, size, train))
+        x = jnp.concatenate(ups, axis=-1)
+        x = Conv(self.num_features, (5, 5), (1, 1), 2, use_bias=False, name="conv")(x)
+        x = BatchNorm(name="bn")(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+class RefineR(nn.Module):
+    block_channel4: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = 64 + self.block_channel4 // 32
+        x = Conv(f, (5, 5), (1, 1), 2, use_bias=False, name="conv0")(x)
+        x = BatchNorm(name="bn0")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = Conv(f, (5, 5), (1, 1), 2, use_bias=False, name="conv1")(x)
+        x = BatchNorm(name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        return Conv(1, (5, 5), (1, 1), 2, use_bias=True, name="conv2")(x)
+
+
+class HuDepthModel(nn.Module):
+    """Assembled Hu2018 model: encoder module + D/MFF/R decoders.
+
+    ``encoder_factory`` builds any flax module returning 4 NHWC taps (it is
+    instantiated under the name "E" to mirror net.model's attribute);
+    ``num_features`` / ``block_channel`` mirror define_model's per-encoder
+    constants (ReSIDE/train.py:20-38).
+    """
+
+    encoder_factory: Callable[..., nn.Module]
+    num_features: int
+    block_channel: tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        taps = self.encoder_factory(name="E")(x, train)
+        x_d = DecoderD(self.num_features, name="D")(taps, train)
+        x_mff = MFF(name="MFF")(taps, x_d.shape[1:3], train)
+        out = RefineR(self.block_channel[3], name="R")(
+            jnp.concatenate([x_d, x_mff], axis=-1), train
+        )
+        return out

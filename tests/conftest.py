@@ -21,6 +21,12 @@ import jax  # noqa: E402
 # whole test session runs on the 8-device virtual CPU platform.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: model-forward tests are compile-bound on CPU;
+# caching makes repeated suite runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
