@@ -150,13 +150,21 @@ _ENCODER_TOKENS = {
 
 
 def parse_checkpoint_name(filename: str) -> tuple[str, str]:
-    """'ENB0-HU.pth' → ('efficientnet-b0', 'hu2018')."""
+    """'ENB0-HU.pth' → ('efficientnet-b0', 'hu2018').
+
+    Also handles the 3-part 'efficientnet-b0-hu2018.pth' convention
+    (inference_benchmark.py:120-125).
+    """
     import os
 
     stem = os.path.splitext(os.path.basename(filename))[0]
-    enc_tok, _, dec_tok = stem.partition("-")
-    encoder = _ENCODER_TOKENS.get(enc_tok, _ENCODER_TOKENS.get(enc_tok.upper()))
+    enc_tok, _, dec_tok = stem.rpartition("-")
+    if not enc_tok:
+        raise ValueError(f"Cannot parse model from checkpoint name '{filename}'")
     decoder = _DECODER_TOKENS.get(dec_tok, _DECODER_TOKENS.get(dec_tok.upper()))
+    encoder = _ENCODER_TOKENS.get(enc_tok, _ENCODER_TOKENS.get(enc_tok.upper()))
+    if encoder is None and enc_tok.lower() in ENCODER_SPECS:
+        encoder = ENCODER_SPECS[enc_tok.lower()].name
     if encoder is None or decoder is None:
         raise ValueError(f"Cannot parse model from checkpoint name '{filename}'")
     return encoder, decoder

@@ -1,0 +1,234 @@
+"""Test-only torch models reproducing the reference architectures' state-dict
+keys and forward numerics, built from bare ``torch.nn`` (torchvision /
+efficientnet_pytorch are not installed in this environment).
+
+These act as the ground truth for checkpoint-import round-trips and
+full-model activation parity: random-weight torch checkpoints are imported
+into the JAX models and outputs compared on fixed inputs.
+"""
+
+from collections import OrderedDict
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------------------
+# ResNet (torchvision-v1 semantics)
+# ---------------------------------------------------------------------------
+
+
+class TorchBottleneck(nn.Module):
+    def __init__(self, cin, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        if stride != 1 or cin != planes * 4:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        r = self.downsample(x) if self.downsample is not None else x
+        return F.relu(y + r)
+
+
+class TorchResNetFeatures(nn.Module):
+    """ResNet-50-style 4-tap backbone (layers configurable)."""
+
+    def __init__(self, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        cin = 64
+        for stage, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
+            blocks = []
+            for i in range(n):
+                stride = 1 if (stage == 0 or i > 0) else 2
+                blocks.append(TorchBottleneck(cin, planes, stride))
+                cin = planes * 4
+            setattr(self, f"layer{stage + 1}", nn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        t1 = self.layer1(x)
+        t2 = self.layer2(t1)
+        t3 = self.layer3(t2)
+        t4 = self.layer4(t3)
+        return t1, t2, t3, t4
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet (efficientnet_pytorch 0.6.3 semantics: global static padding)
+# ---------------------------------------------------------------------------
+
+
+def _same_pad(res, k, s):
+    out = math.ceil(res / s)
+    total = max((out - 1) * s + k - res, 0)
+    return (total // 2, total - total // 2)
+
+
+class TorchMBConv(nn.Module):
+    def __init__(self, cin, cout, k, s, expand, se_ratio, res):
+        super().__init__()
+        self.cin, self.cout, self.k, self.s, self.expand = cin, cout, k, s, expand
+        mid = cin * expand
+        if expand != 1:
+            self._expand_conv = nn.Conv2d(cin, mid, 1, bias=False)
+            self._bn0 = nn.BatchNorm2d(mid, eps=1e-3, momentum=0.01)
+        self.pad = _same_pad(res, k, s)
+        self._depthwise_conv = nn.Conv2d(mid, mid, k, s, 0, groups=mid, bias=False)
+        self._bn1 = nn.BatchNorm2d(mid, eps=1e-3, momentum=0.01)
+        n_sq = max(1, int(cin * se_ratio))
+        self._se_reduce = nn.Conv2d(mid, n_sq, 1)
+        self._se_expand = nn.Conv2d(n_sq, mid, 1)
+        self._project_conv = nn.Conv2d(mid, cout, 1, bias=False)
+        self._bn2 = nn.BatchNorm2d(cout, eps=1e-3, momentum=0.01)
+
+    def forward(self, x):
+        inp = x
+        swish = lambda t: t * torch.sigmoid(t)
+        if self.expand != 1:
+            x = swish(self._bn0(self._expand_conv(x)))
+        ph, pw = self.pad, self.pad
+        x = F.pad(x, (pw[0], pw[1], ph[0], ph[1]))
+        x = swish(self._bn1(self._depthwise_conv(x)))
+        se = F.adaptive_avg_pool2d(x, 1)
+        se = self._se_expand(swish(self._se_reduce(se)))
+        x = torch.sigmoid(se) * x
+        x = self._bn2(self._project_conv(x))
+        if self.s == 1 and self.cin == self.cout:
+            x = x + inp
+        return x
+
+
+class TorchEfficientNetFeatures(nn.Module):
+    """B0-shaped feature extractor with the reference's 4-way split."""
+
+    STAGES = (
+        (1, 3, 1, 1, 32, 16, 0.25),
+        (2, 3, 2, 6, 16, 24, 0.25),
+        (2, 5, 2, 6, 24, 40, 0.25),
+        (3, 3, 2, 6, 40, 80, 0.25),
+        (3, 5, 1, 6, 80, 112, 0.25),
+        (4, 5, 2, 6, 112, 192, 0.25),
+        (1, 3, 1, 6, 192, 320, 0.25),
+    )
+    SPLITS = (0, 3, 5, 8, 16)
+    RES = 224
+
+    def __init__(self):
+        super().__init__()
+        self.stem_pad = _same_pad(self.RES, 3, 2)
+        self._conv_stem = nn.Conv2d(3, 32, 3, 2, 0, bias=False)
+        self._bn0 = nn.BatchNorm2d(32, eps=1e-3, momentum=0.01)
+        blocks = []
+        for r, k, s, e, cin, cout, se in self.STAGES:
+            for i in range(r):
+                blocks.append(
+                    TorchMBConv(cin if i == 0 else cout, cout, k,
+                                s if i == 0 else 1, e, se, self.RES)
+                )
+        self._blocks = nn.ModuleList(blocks)
+
+    def forward(self, x):
+        swish = lambda t: t * torch.sigmoid(t)
+        p = self.stem_pad
+        x = F.pad(x, (p[0], p[1], p[0], p[1]))
+        x = swish(self._bn0(self._conv_stem(x)))
+        taps = []
+        for i, b in enumerate(self._blocks):
+            x = b(x)
+            if i + 1 in self.SPLITS[1:]:
+                taps.append(x)
+        return taps
+
+
+# ---------------------------------------------------------------------------
+# Hu2018 decoder stack
+# ---------------------------------------------------------------------------
+
+
+class TorchUpProjection(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 5, 1, 2, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv1_2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn1_2 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cin, cout, 5, 1, 2, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+
+    def forward(self, x, size):
+        x = F.interpolate(x, size=size, mode="bilinear", align_corners=True)
+        a = self.bn1_2(self.conv1_2(F.relu(self.bn1(self.conv1(x)))))
+        b = self.bn2(self.conv2(x))
+        return F.relu(a + b)
+
+
+class TorchHuModel(nn.Module):
+    def __init__(self, encoder, num_features, block_channel):
+        super().__init__()
+        self.E = encoder
+        f = num_features // 2
+        self.D = nn.Module()
+        self.D.conv = nn.Conv2d(num_features, f, 1, bias=False)
+        self.D.bn = nn.BatchNorm2d(f)
+        self.D.up1 = TorchUpProjection(f, f // 2)
+        self.D.up2 = TorchUpProjection(f // 2, f // 4)
+        self.D.up3 = TorchUpProjection(f // 4, f // 8)
+        self.D.up4 = TorchUpProjection(f // 8, f // 16)
+        self.MFF = nn.Module()
+        for i, c in enumerate(block_channel):
+            setattr(self.MFF, f"up{i + 1}", TorchUpProjection(c, 16))
+        self.MFF.conv = nn.Conv2d(64, 64, 5, 1, 2, bias=False)
+        self.MFF.bn = nn.BatchNorm2d(64)
+        r = 64 + block_channel[3] // 32
+        self.R = nn.Module()
+        self.R.conv0 = nn.Conv2d(r, r, 5, 1, 2, bias=False)
+        self.R.bn0 = nn.BatchNorm2d(r)
+        self.R.conv1 = nn.Conv2d(r, r, 5, 1, 2, bias=False)
+        self.R.bn1 = nn.BatchNorm2d(r)
+        self.R.conv2 = nn.Conv2d(r, 1, 5, 1, 2, bias=True)
+
+    def forward(self, x):
+        t1, t2, t3, t4 = self.E(x)
+        d = F.relu(self.D.bn(self.D.conv(t4)))
+        d = self.D.up1(d, t3.shape[2:])
+        d = self.D.up2(d, t2.shape[2:])
+        d = self.D.up3(d, t1.shape[2:])
+        d = self.D.up4(d, (t1.shape[2] * 2, t1.shape[3] * 2))
+        size = d.shape[2:]
+        m = torch.cat([
+            self.MFF.up1(t1, size), self.MFF.up2(t2, size),
+            self.MFF.up3(t3, size), self.MFF.up4(t4, size),
+        ], 1)
+        m = F.relu(self.MFF.bn(self.MFF.conv(m)))
+        y = torch.cat([d, m], 1)
+        y = F.relu(self.R.bn0(self.R.conv0(y)))
+        y = F.relu(self.R.bn1(self.R.conv1(y)))
+        return self.R.conv2(y)
+
+
+def randomize_bn_stats(model, seed=0):
+    """Give BN layers non-trivial running stats so eval parity is meaningful."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+    return model
