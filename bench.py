@@ -1,0 +1,80 @@
+"""Benchmark: end-to-end 640×480 NYU-v2 inference throughput per TPU chip.
+
+Measures the full serving pipeline per frame — uint8 640×480 ingest,
+on-device preprocessing (PIL-parity Scale(240) + CenterCrop 304×228 +
+normalize), flagship ENB0-HU forward, and align-corners upsample of the
+depth map back to 640×480 — i.e. the work `ReSIDE/inference_benchmark.py`
+and `ReSIDE/test_nyu.py` do per frame on GPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps_per_chip, "unit": "frames/s/chip", "vs_baseline": ...}
+
+Baseline: the reference's papers report ~30 fps for ENB0-HU batched GPU
+inference (RTX-class hardware; the in-repo harness regenerates but does not
+publish numbers, BASELINE.md). vs_baseline = fps_per_chip / 30.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+GPU_BASELINE_FPS = 30.0
+BATCH = 32
+WARMUP = 3
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientdepthestimation_tpu.data.transforms import eval_preprocess_image_only
+    from efficientdepthestimation_tpu.models import build_model
+    from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
+
+    model = build_model("efficientnet-b0", "hu2018")
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (BATCH, 480, 640, 3), dtype=np.uint8))
+
+    init_images = jnp.zeros((BATCH, 228, 304, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        init_images,
+    )
+    # bfloat16 weights + activations: MXU-native inference precision.
+    variables_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
+    )
+
+    @jax.jit
+    def pipeline(variables, frames_u8):
+        images = eval_preprocess_image_only(frames_u8)
+        images = images.astype(jnp.bfloat16)
+        depth = model.apply(variables, images)
+        depth = resize_bilinear_align_corners(depth.astype(jnp.float32), (480, 640))
+        return depth
+
+    out = pipeline(variables_bf16, frames).block_until_ready()
+    assert out.shape == (BATCH, 480, 640, 1)
+    for _ in range(WARMUP):
+        out = pipeline(variables_bf16, frames).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = pipeline(variables_bf16, frames).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    fps_per_chip = BATCH * ITERS / dt / n_chips
+    print(json.dumps({
+        "metric": "enb0_hu_e2e_640x480_inference",
+        "value": round(fps_per_chip, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_per_chip / GPU_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

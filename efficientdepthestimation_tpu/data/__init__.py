@@ -11,6 +11,7 @@ from efficientdepthestimation_tpu.data.transforms import (
     IMAGENET_PCA_EIGVAL,
     IMAGENET_PCA_EIGVEC,
     eval_preprocess,
+    eval_preprocess_image_only,
     train_preprocess,
     demo_preprocess,
     normalize_imagenet,

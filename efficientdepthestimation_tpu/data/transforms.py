@@ -113,6 +113,15 @@ def eval_preprocess(images_u8: jax.Array, depths_u16: jax.Array,
     return images, depths
 
 
+@functools.partial(jax.jit, static_argnames=("crop_hw",))
+def eval_preprocess_image_only(images_u8: jax.Array,
+                               crop_hw: tuple[int, int] = (228, 304)) -> jax.Array:
+    """Image half of the eval pipeline (for inference-only paths)."""
+    images = scale_short_side(images_u8.astype(jnp.float32), 240, "bilinear", True)
+    images = center_crop(images, *crop_hw)
+    return normalize_imagenet(images / 255.0)
+
+
 @functools.partial(jax.jit, static_argnames=("crop_hw", "scale_wh"))
 def demo_preprocess(images_u8: jax.Array, crop_hw: tuple[int, int] = (228, 304),
                     scale_wh: tuple[int, int] = (320, 240)):

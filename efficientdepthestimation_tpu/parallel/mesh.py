@@ -1,0 +1,61 @@
+"""Device-mesh construction and sharding helpers.
+
+TPU-native replacement for ``torch.nn.DataParallel`` (ReSIDE/train.py:93-101
+and four other call sites, SURVEY §2f): a 1-D ``Mesh(('data',))`` over all
+local devices; parameters replicated, batches sharded along ``data``.
+Gradient all-reduces are compiled by XLA onto ICI — there is no hand-written
+communication backend. For multi-host pods, call
+``jax.distributed.initialize`` before ``create_mesh`` and the same program
+scales across slices (DCN collectives inserted by the compiler).
+
+The model axis is deliberately present-but-unused (size 1 by default): the
+largest model here is ~258 MB (RN50-HU, BASELINE.md), so tensor parallelism
+never pays for its collectives — but the mesh shape keeps the door open.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "data_sharding", "replicated_sharding", "shard_batch",
+           "scale_batch_size"]
+
+
+def create_mesh(n_devices: int | None = None, model_parallel: int = 1,
+                devices=None) -> Mesh:
+    """1-D data mesh (optionally ×model axis) over local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding along the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch on the mesh, sharded along the data axis."""
+    sharding = data_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x, batch
+    )
+
+
+def scale_batch_size(per_device: int = 8, mesh: Mesh | None = None) -> int:
+    """The reference scales batch 8→32→64 for 1→4→8 GPUs (train.py:93-101);
+    the mesh generalization is per-device × data-axis size."""
+    n = mesh.shape["data"] if mesh is not None else len(jax.devices())
+    return per_device * n

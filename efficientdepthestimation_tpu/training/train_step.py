@@ -1,0 +1,136 @@
+"""jit/pjit train & eval steps: one XLA program per step.
+
+TPU-native collapse of the reference's per-batch hot loop
+(ReSIDE/train.py:210-252, SURVEY §3.1): preprocessing, forward, the fused
+sobel loss, backward, the Adam update, BN running-stat updates and the full
+metrics reduction all live in ONE compiled program — no per-metric ``.item()``
+syncs, no separate Sobel conv launches. Under a data mesh the same program is
+SPMD: the batch enters sharded on the ``data`` axis and XLA inserts the
+gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from efficientdepthestimation_tpu.data.transforms import train_preprocess
+from efficientdepthestimation_tpu.ops.pallas.fused_loss import fused_depth_loss
+from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
+from efficientdepthestimation_tpu.training.loss import depth_loss
+from efficientdepthestimation_tpu.training.metrics import depth_metrics_batch
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "step_lr", "adam_with_l2"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def step_lr(base_lr: float, steps_per_epoch: int, step_size: int = 5,
+            gamma: float = 0.1) -> optax.Schedule:
+    """torch StepLR(step_size=5, γ=0.1) (train.py:105), stepped per epoch."""
+
+    def schedule(count):
+        epoch = count // steps_per_epoch
+        return base_lr * gamma ** (epoch // step_size)
+
+    return schedule
+
+
+def adam_with_l2(learning_rate, weight_decay: float = 1e-4) -> optax.GradientTransformation:
+    """torch ``Adam(lr, weight_decay)`` = L2 added to the gradient *before*
+    the Adam moments (not AdamW) — train.py:104."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(learning_rate),
+    )
+
+
+def create_train_state(model, variables, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
+                    pallas_interpret: bool = False, donate: bool = True):
+    """Build the jit'd train step.
+
+    ``preprocess=True`` takes raw uint8 batches (image 480×640×3, depth
+    480×640) and runs the full augmentation stack on device; otherwise the
+    batch must already contain preprocessed ``image``/``depth`` tensors.
+    """
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        if preprocess:
+            images, depths = train_preprocess(rng_aug, batch["image"], batch["depth"])
+        else:
+            images, depths = batch["image"], batch["depth"]
+
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+            if use_pallas_loss:
+                loss = fused_depth_loss(out, depths, pallas_interpret)
+            else:
+                loss = depth_loss(out, depths)
+            return loss, (out, updates["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        metrics = depth_metrics_batch(out, depths)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(*, upsample_to_label: bool = True):
+    """jit'd eval step: forward, align-corners upsample to label size,
+    metric sums (train.py:259-292)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_step(state: TrainState, images: jax.Array, depths: jax.Array):
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, False,
+        )
+        if upsample_to_label:
+            out = resize_bilinear_align_corners(out, depths.shape[1:3])
+        return depth_metrics_batch(out, depths), out
+
+    return eval_step
