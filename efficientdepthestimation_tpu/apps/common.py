@@ -1,0 +1,69 @@
+"""Shared app plumbing: universal checkpoint loading, jit forward builders."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["load_any_checkpoint", "make_infer_fn", "init_variables",
+           "infer_arch_from_path"]
+
+
+def infer_arch_from_path(model_path: str) -> tuple[str, str]:
+    """Substring-sniffing fallback (demo.py:25-31): encoder from the path,
+    hu2018 decoder assumed unless 'lasinger'/'lr' appears."""
+    lower = os.path.basename(model_path).lower()
+    decoder = "lasinger2019" if ("lasinger" in lower or lower.endswith("-lr")) else "hu2018"
+    for token, enc in (
+        ("efficientnet-b4", "efficientnet-b4"), ("efficientnet-b0", "efficientnet-b0"),
+        ("efficientnet", "efficientnet-b4"),  # demo.py defaults the variant to b4
+        ("resnet", "resnet50"), ("densenet", "densenet161"), ("senet", "senet154"),
+    ):
+        if token in lower:
+            return enc, decoder
+    raise ValueError(f"Cannot infer architecture from '{model_path}'")
+
+
+def load_any_checkpoint(path: str, model=None, example_input_hw=(228, 304)):
+    """Load .pth (reference format) or native EDE msgpack → (model, variables)."""
+    from efficientdepthestimation_tpu.checkpoints.pth_import import import_pth
+    from efficientdepthestimation_tpu.checkpoints.serialization import load_checkpoint
+
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"EDE1":
+        loaded_model, variables, _ = load_checkpoint(path)
+        return model or loaded_model, variables
+    return import_pth(path, model=model, example_input_hw=example_input_hw)
+
+
+def init_variables(model, input_hw=(228, 304), batch: int = 1, seed: int = 0):
+    x = jnp.zeros((batch, *input_hw, 3), jnp.float32)
+    return model.init(
+        {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)}, x
+    )
+
+
+def make_infer_fn(model, variables, *, upsample_to=None, dtype=None):
+    """jit'd forward on normalized NHWC images; optional output upsample."""
+    from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
+
+    if dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda v: v.astype(dtype) if hasattr(v, "astype") and
+            v.dtype == jnp.float32 else v, variables)
+
+    @jax.jit
+    def infer(images):
+        if dtype is not None:
+            images = images.astype(dtype)
+        out = model.apply(variables, images)
+        out = out.astype(jnp.float32)
+        if upsample_to is not None:
+            out = resize_bilinear_align_corners(out, upsample_to)
+        return out
+
+    return infer

@@ -1,0 +1,47 @@
+"""Peak-memory probe — equivalent of ``python -m ReSIDE.inference``.
+
+Runs batched test-set inference and reports the device's peak memory
+(``device.memory_stats()`` replaces ``torch.cuda.max_memory_cached()``,
+ReSIDE/inference.py:17-32).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from efficientdepthestimation_tpu.apps.common import load_any_checkpoint, make_infer_fn
+from efficientdepthestimation_tpu.data import (
+    DepthPairDataset,
+    batch_iterator,
+    eval_preprocess,
+)
+
+
+def main(args: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser(description="Peak device memory probe")
+    parser.add_argument("--model", required=True, type=str)
+    parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)
+    parser.add_argument("--batch-size", default=8, type=int)
+    args = parser.parse_args(args)
+
+    model, variables = load_any_checkpoint(args.model)
+    infer = make_infer_fn(model, variables)
+
+    dataset = DepthPairDataset(args.test_csv, is_test=True)
+    for batch in batch_iterator(dataset, args.batch_size, pad_last=True):
+        images, _ = eval_preprocess(
+            jnp.asarray(batch["image"]), jnp.asarray(batch["depth"]))
+        jax.block_until_ready(infer(images))
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0)
+    print(f"Peak device memory: {peak / 1e9:.3f} GB ({peak} bytes)")
+    return peak
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Inference fps/memory harness — equivalent of ReSIDE/inference_benchmark.py.
+
+For every checkpoint in a directory × num_trials: timed model load
+(name-convention dispatch '{ENC}-{DEC}.pth', inference_benchmark.py:117-152),
+timed batched no-grad inference over a frames directory with align-corners
+upsample back to input size, and peak device memory; aggregated to
+``mean ± std`` and written as LaTeX + CSV (inference_benchmark.py:72-88).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from efficientdepthestimation_tpu.apps.common import load_any_checkpoint, make_infer_fn
+from efficientdepthestimation_tpu.data import (
+    VideoFrameDataset,
+    batch_iterator,
+    eval_preprocess_image_only,
+)
+from efficientdepthestimation_tpu.utils import Timer
+
+
+def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8):
+    loading_timer = Timer()
+    with loading_timer:
+        model, variables = load_any_checkpoint(model_path)
+
+    inference_timer = Timer()
+    last = None
+    with inference_timer:
+        for batch in batch_iterator(dataset, batch_size, pad_last=True):
+            frames = jnp.asarray(batch["image"])
+            h, w = frames.shape[1:3]
+            images = eval_preprocess_image_only(frames)
+            infer = make_infer_fn(model, variables, upsample_to=(h, w))
+            last = infer(images)
+        if last is not None:
+            jax.block_until_ready(last)
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak_memory = stats.get("peak_bytes_in_use", 0)
+    return loading_timer.elapsed, inference_timer.elapsed, peak_memory
+
+
+def main(args: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser(description="Per-checkpoint fps/memory benchmark")
+    parser.add_argument("-c", "--checkpoint-dir", required=True, type=str)
+    parser.add_argument("-f", "--frames-dir", required=True, type=str)
+    parser.add_argument("-n", "--num-trials", default=5, type=int)
+    parser.add_argument("-b", "--batch-size", default=8, type=int)
+    parser.add_argument("-o", "--output-dir", default=".", type=str)
+    args = parser.parse_args(args)
+
+    dataset = VideoFrameDataset(args.frames_dir)
+    rows = []
+    checkpoints = sorted(
+        f for f in os.listdir(args.checkpoint_dir)
+        if f.endswith((".pth", ".ede"))
+    )
+    for filename in checkpoints:
+        path = os.path.join(args.checkpoint_dir, filename)
+        print(path)
+        for trial in range(args.num_trials):
+            load_t, infer_t, peak = benchmark_checkpoint(dataset, path, args.batch_size)
+            rows.append({
+                "model": os.path.splitext(filename)[0],
+                "trial": trial,
+                "load_time": load_t.total_seconds(),
+                "inference_time": infer_t.total_seconds(),
+                "frame_time": infer_t.total_seconds() / max(1, len(dataset)),
+                "memory_usage": peak,
+            })
+            print(f"  trial {trial + 1}/{args.num_trials}: "
+                  f"load {load_t.total_seconds():.2f}s "
+                  f"infer {infer_t.total_seconds():.2f}s peak {peak / 1e6:.0f}MB")
+
+    frame = pd.DataFrame(rows)
+    summary = frame.groupby("model").agg(
+        {"load_time": ["mean", "std"], "inference_time": ["mean", "std"],
+         "frame_time": ["mean", "std"], "memory_usage": ["mean", "std"]})
+    os.makedirs(args.output_dir, exist_ok=True)
+    summary.to_csv(os.path.join(args.output_dir, "inference_benchmark.csv"))
+    with open(os.path.join(args.output_dir, "inference_benchmark.tex"), "w") as f:
+        f.write(summary.to_latex())
+    print(summary)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

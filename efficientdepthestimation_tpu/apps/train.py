@@ -1,0 +1,219 @@
+"""Training CLI — TPU-native equivalent of ``python -m ReSIDE.train``.
+
+Same flags (encoder/decoder/epochs/start-epoch/lr/momentum/weight-decay,
+ReSIDE/train.py:52-67) with the DataParallel block replaced by SPMD over a
+device mesh: batch = 8 × mesh data-axis size (generalizing the 8/32/64 ladder
+at train.py:93-101), gradients all-reduced over ICI by XLA. Per epoch:
+train → test → save best by abs_rel → StepLR step → log metrics, example
+depth images (÷10 m), device memory and per-frame timings (train.py:140-191).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientdepthestimation_tpu.apps.common import init_variables
+from efficientdepthestimation_tpu.checkpoints.serialization import (
+    save_checkpoint,
+    save_midas,
+)
+from efficientdepthestimation_tpu.data import (
+    DepthPairDataset,
+    batch_iterator,
+    device_prefetch,
+    eval_preprocess,
+)
+from efficientdepthestimation_tpu.models import build_model
+from efficientdepthestimation_tpu.parallel import (
+    create_mesh,
+    data_sharding,
+    replicated_sharding,
+    scale_batch_size,
+    shard_batch,
+)
+from efficientdepthestimation_tpu.training.metrics import (
+    BestMetricsTracker,
+    MetricsTracker,
+)
+from efficientdepthestimation_tpu.training.train_step import (
+    adam_with_l2,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    step_lr,
+)
+from efficientdepthestimation_tpu.utils import RunLogger, Timer
+
+EFFICIENTNET_NAMES = [f"efficientnet-b{i}" for i in range(9)]
+RESNET_NAMES = [f"resnet{i}" for i in (18, 50, 101, 152)]
+
+
+def parse_args(args: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser(description="TPU depth-estimation training")
+    parser.add_argument("--encoder", default="resnet50", type=str,
+                        choices=["densenet", "senet"] + EFFICIENTNET_NAMES + RESNET_NAMES)
+    parser.add_argument("--decoder", default="hu2018", type=str,
+                        choices=("hu2018", "lasinger2019"))
+    parser.add_argument("--epochs", default=20, type=int)
+    parser.add_argument("--start-epoch", default=0, type=int)
+    parser.add_argument("--lr", "--learning-rate", default=0.0001, type=float)
+    parser.add_argument("--momentum", default=0.9, type=float)
+    parser.add_argument("--weight-decay", "--wd", default=1e-4, type=float)
+    parser.add_argument("--train-csv", default="./data/nyu2_train.csv", type=str)
+    parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)
+    parser.add_argument("--per-device-batch", default=8, type=int)
+    parser.add_argument("--use-pallas-loss", action="store_true")
+    parser.add_argument("--seed", default=0, type=int)
+    return parser.parse_args(args=args)
+
+
+def main(args: Optional[List[str]] = None):
+    args = parse_args(args)
+    training_start_time = datetime.datetime.now()
+
+    mesh = create_mesh()
+    batch_size = scale_batch_size(args.per_device_batch, mesh)
+    print(f"mesh={dict(mesh.shape)} batch_size={batch_size}")
+
+    if args.decoder == "hu2018":
+        model = build_model(args.encoder, "hu2018")
+    else:
+        model = build_model(args.encoder, "lasinger2019",
+                            output_size=(114, 152), input_size=(228, 304))
+
+    variables = init_variables(model, (228, 304), batch=2, seed=args.seed)
+    steps_per_epoch = None  # filled below once dataset size is known
+
+    train_ds = DepthPairDataset(args.train_csv, is_test=False)
+    test_ds = DepthPairDataset(args.test_csv, is_test=True)
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+
+    tx = adam_with_l2(step_lr(args.lr, steps_per_epoch), args.weight_decay)
+    state = create_train_state(model, variables, tx)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    if args.start_epoch:
+        state = state.replace(step=jnp.asarray(args.start_epoch * steps_per_epoch))
+
+    train_step = make_train_step(use_pallas_loss=args.use_pallas_loss)
+    eval_step = make_eval_step()
+
+    num_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+    logger = RunLogger(
+        project="deep-depth-estimation",
+        config={"network": {"encoder": {"name": args.encoder},
+                            "decoder_type": args.decoder}},
+        name_prefix=f"{args.encoder}-{args.decoder}",
+    )
+    logger.set_summary("num_parameters", num_params)
+    checkpoint_path = os.path.join(logger.dir, f"{logger.name}.ede")
+
+    best_metrics = BestMetricsTracker()
+    min_loss = float("inf")
+    rng = jax.random.PRNGKey(args.seed)
+    sharding = data_sharding(mesh)
+
+    training_timer, test_timer, inference_timer = Timer(), Timer(), Timer()
+
+    for epoch in range(args.start_epoch, args.epochs):
+        elapsed = datetime.datetime.now() - training_start_time
+        print(f"Epoch {epoch + 1:02d}/{args.epochs:02d} - Total Elapsed Time: {elapsed}")
+
+        with training_timer:
+            state, train_metrics = run_train_epoch(
+                state, train_step, train_ds, batch_size, sharding, rng, epoch)
+
+        with test_timer:
+            metrics = run_eval_epoch(state, eval_step, test_ds, batch_size, sharding)
+
+        if metrics.abs_rel.value < min_loss:
+            min_loss = metrics.abs_rel.value
+            host_vars = jax.device_get(
+                {"params": state.params, "batch_stats": state.batch_stats})
+            if args.decoder == "lasinger2019":
+                save_midas(checkpoint_path, model, host_vars)
+            else:
+                save_checkpoint(checkpoint_path, host_vars,
+                                encoder=args.encoder, decoder=args.decoder)
+
+        # example depth images from the first test batch (train.py:163-177)
+        example_batch = next(batch_iterator(test_ds, min(batch_size, 8), pad_last=True))
+        images, depths = eval_preprocess(
+            jnp.asarray(example_batch["image"]), jnp.asarray(example_batch["depth"]))
+        with inference_timer:
+            _, examples = eval_step(state, images, depths)
+            examples = jax.block_until_ready(examples)
+        logger.log_images("examples", np.asarray(examples) / 10.0, step=epoch)
+
+        best_metrics.update(metrics)
+        for name, value in best_metrics.to_dict().items():
+            logger.set_summary(name, value)
+
+        mem_stats = jax.local_devices()[0].memory_stats() or {}
+        logger.log({
+            **metrics.to_dict(),
+            "loss": train_metrics.get("loss", float("nan")),
+            "vram_usage": mem_stats.get("peak_bytes_in_use", 0),
+            "training_frame_time":
+                training_timer.elapsed.total_seconds() / max(1, len(train_ds)),
+            "test_frame_time":
+                test_timer.elapsed.total_seconds() / max(1, len(test_ds)),
+            "inference_time":
+                inference_timer.elapsed.total_seconds() / max(1, len(examples)),
+        }, step=epoch)
+
+    print(f"Total Training Time: {datetime.datetime.now() - training_start_time}.")
+    logger.finish()
+    return checkpoint_path
+
+
+def run_train_epoch(state, train_step, dataset, batch_size, sharding, rng, epoch):
+    tracker = MetricsTracker()
+    loss_sum, loss_n = 0.0, 0
+    epoch_start, seen = datetime.datetime.now(), 0
+    batches = batch_iterator(dataset, batch_size, shuffle=True, seed=epoch,
+                             pad_last=True)
+    metrics = None
+    for batch in device_prefetch(batches, sharding=sharding):
+        state, metrics = train_step(
+            state, {"image": batch["image"], "depth": batch["depth"]},
+            jax.random.fold_in(rng, epoch))
+        seen += int(batch["num_valid"])
+        host = jax.device_get(metrics)
+        tracker.update_from_sums(host)
+        loss_sum += float(host["loss"])
+        loss_n += 1
+        dt = (datetime.datetime.now() - epoch_start).total_seconds()
+        print(f"\rTrain [{seen:05d}/{len(dataset):05d}] - "
+              f"({dt / max(seen, 1):.4f}s/image) - "
+              f"Loss: {host['loss']:.3f} (Avg.: {loss_sum / loss_n:.3f}) - {tracker}",
+              end="")
+    print()
+    return state, {"loss": loss_sum / max(loss_n, 1)}
+
+
+def run_eval_epoch(state, eval_step, dataset, batch_size, sharding):
+    tracker = MetricsTracker()
+    seen = 0
+    epoch_start = datetime.datetime.now()
+    for batch in device_prefetch(
+            batch_iterator(dataset, batch_size, pad_last=True), sharding=sharding):
+        images, depths = eval_preprocess(batch["image"], batch["depth"])
+        sums, _ = eval_step(state, images, depths)
+        tracker.update_from_sums(jax.device_get(sums))
+        seen += int(batch["num_valid"])
+        dt = (datetime.datetime.now() - epoch_start).total_seconds()
+        print(f"\rVal [{seen:05d}/{len(dataset):05d}] - "
+              f"({dt / max(seen, 1):.4f}s/image) - {tracker}", end="")
+    print()
+    return tracker
+
+
+if __name__ == "__main__":
+    main()

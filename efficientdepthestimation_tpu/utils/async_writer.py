@@ -1,0 +1,78 @@
+"""Asynchronous image/video writers (thread-pooled host I/O).
+
+Equivalent of the DepthRenderer ``utils.AsyncImageWriter``/``AsyncVideoWriter``
+the reference uses to overlap disk writes with inference
+(ReSIDE/test_nyu.py:19-22,82-97; Benchmark/benchmark.py:947-962).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from typing import Callable
+
+import numpy as np
+
+__all__ = ["AsyncImageWriter", "AsyncVideoWriter"]
+
+
+class AsyncImageWriter:
+    """Writes images on a worker pool; ``write`` may be overridden."""
+
+    def __init__(self, num_workers: int = 4):
+        self.pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+        self._futures: list[cf.Future] = []
+
+    def write(self, image: np.ndarray, path: str):
+        from PIL import Image
+
+        Image.fromarray(image).save(path)
+
+    def submit(self, image: np.ndarray, path: str, writer: Callable | None = None):
+        fn = writer or self.write
+        self._futures.append(self.pool.submit(fn, image, path))
+
+    def cleanup(self):
+        for fut in self._futures:
+            fut.result()
+        self._futures.clear()
+        self.pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.cleanup()
+
+
+class AsyncVideoWriter:
+    """Orders frames by index and streams them to a cv2 VideoWriter."""
+
+    def __init__(self, path: str, size_wh: tuple[int, int], fps: float = 24.0,
+                 fourcc: str = "DIVX"):
+        import cv2
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*fourcc), fps, size_wh
+        )
+        self._next = 0
+        self._pending: dict[int, np.ndarray] = {}
+
+    def submit(self, frame: np.ndarray, index: int | None = None):
+        index = self._next if index is None else index
+        self._pending[index] = frame
+        while self._next in self._pending:
+            self.writer.write(self._pending.pop(self._next))
+            self._next += 1
+
+    def cleanup(self):
+        for index in sorted(self._pending):
+            self.writer.write(self._pending.pop(index))
+        self.writer.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.cleanup()

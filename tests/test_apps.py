@@ -1,0 +1,143 @@
+"""End-to-end smoke tests of the CLI apps on tiny synthetic fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from efficientdepthestimation_tpu.apps.common import (
+    infer_arch_from_path,
+    load_any_checkpoint,
+)
+from efficientdepthestimation_tpu.checkpoints.serialization import save_checkpoint
+from efficientdepthestimation_tpu.models import build_model
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Tiny resnet18-HU checkpoint + synthetic NYU csv + frame dir."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("apps")
+    rng = np.random.default_rng(0)
+
+    model = build_model("resnet18", "hu2018")
+    import jax.numpy as jnp
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 228, 304, 3)))
+    ckpt_dir = root / "checkpoints"
+    ckpt_dir.mkdir()
+    ckpt = str(ckpt_dir / "RN18-HU.ede")
+    save_checkpoint(ckpt, jax.tree_util.tree_map(np.asarray, variables),
+                    encoder="resnet18", decoder="hu2018")
+
+    image = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    depth16 = rng.integers(500, 9000, (480, 640), dtype=np.uint16)
+    img_path = str(root / "rgb.png")
+    d16_path = str(root / "depth.png")
+    Image.fromarray(image).save(img_path)
+    Image.fromarray(depth16, mode="I;16").save(d16_path)
+
+    csv = root / "test.csv"
+    with open(csv, "w") as f:
+        for _ in range(2):
+            f.write(f"{img_path},{d16_path}\n")
+
+    frames = root / "frames"
+    frames.mkdir()
+    for i in range(2):
+        Image.fromarray(image).save(frames / f"{i:03d}.png")
+
+    return dict(root=root, ckpt=ckpt, ckpt_dir=str(ckpt_dir), csv=str(csv),
+                frames=str(frames), img_path=img_path)
+
+
+def test_load_any_checkpoint_ede(workspace):
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+    assert "params" in variables
+
+
+def test_infer_arch_from_path():
+    assert infer_arch_from_path("pretrained_model/model_resnet") == ("resnet50", "hu2018")
+    assert infer_arch_from_path("x/efficientnet-b0-lasinger2019.pth") == (
+        "efficientnet-b0", "lasinger2019")
+    assert infer_arch_from_path("senet_best.pth") == ("senet154", "hu2018")
+
+
+def test_demo_app(workspace, tmp_path):
+    from efficientdepthestimation_tpu.apps import demo
+
+    out_dir = str(tmp_path / "demo_out")
+    demo.main(["-i", workspace["img_path"], "-m", workspace["ckpt"], "-o", out_dir])
+    assert os.listdir(out_dir) == ["rgb.png"]
+
+
+def test_evaluate_app(workspace):
+    from efficientdepthestimation_tpu.apps import evaluate
+
+    tracker, edges = evaluate.main(
+        ["--model", workspace["ckpt"], "--test-csv", workspace["csv"],
+         "--batch-size", "2"])
+    assert np.isfinite(tracker.abs_rel.value)
+    assert 0 <= edges["edge_accuracy"] <= 1
+
+
+def test_test_nyu_app(workspace, tmp_path):
+    from efficientdepthestimation_tpu.apps import test_nyu
+
+    out_dir = str(tmp_path / "nyu_out")
+    test_nyu.main(["-c", workspace["ckpt_dir"], "--test-csv", workspace["csv"],
+                   "-b", "2", "-o", out_dir])
+    files = os.listdir(os.path.join(out_dir, "RN18-HU"))
+    assert sorted(files) == ["0000.jpg", "0000.png", "0001.jpg", "0001.png"]
+    from PIL import Image
+
+    depth = np.asarray(Image.open(os.path.join(out_dir, "RN18-HU", "0000.png")))
+    assert depth.dtype == np.int32 or depth.dtype == np.uint16  # 16-bit png
+
+
+def test_inference_benchmark_app(workspace, tmp_path):
+    from efficientdepthestimation_tpu.apps import inference_benchmark
+
+    out_dir = str(tmp_path / "bench_out")
+    summary = inference_benchmark.main(
+        ["-c", workspace["ckpt_dir"], "-f", workspace["frames"],
+         "-n", "2", "-b", "2", "-o", out_dir])
+    assert os.path.exists(os.path.join(out_dir, "inference_benchmark.csv"))
+    assert os.path.exists(os.path.join(out_dir, "inference_benchmark.tex"))
+    assert ("RN18-HU",) in summary.index or "RN18-HU" in summary.index
+
+
+def test_point_clouds_and_collage_apps(workspace, tmp_path):
+    from efficientdepthestimation_tpu.apps import pcd2image, point_clouds
+
+    ply_root = tmp_path / "plys" / "hu2018" / "rn18"
+    ply_root.mkdir(parents=True)
+    point_clouds.main(["-i", workspace["frames"], "-m", workspace["ckpt"],
+                       "-o", str(ply_root), "--max-frames", "6"])
+    plys = sorted(os.listdir(ply_root))
+    assert plys[0] == "0000.ply"
+    # duplicate to satisfy the 6-sample collage layout
+    import shutil
+
+    for i in range(len(plys), 6):
+        shutil.copy(ply_root / "0000.ply", ply_root / f"{i:04d}.ply")
+
+    out_png = str(tmp_path / "collage.png")
+    pcd2image.main(["-i", str(tmp_path / "plys"), "--size", "64",
+                    "--output", out_png])
+    assert os.path.exists(out_png)
+
+
+def test_examples_app(workspace, tmp_path):
+    from efficientdepthestimation_tpu.apps import examples
+
+    out_dir = str(tmp_path / "examples_out")
+    examples.main(["-c", workspace["ckpt_dir"], "--test-csv", workspace["csv"],
+                   "-b", "2", "-o", out_dir])
+    files = os.listdir(out_dir)
+    assert any(f.endswith("_gt.png") for f in files)
+    assert any("RN18-HU" in f for f in files)
