@@ -1,0 +1,124 @@
+"""DepthModel contract + model wrappers for the benchmark harness.
+
+Behavioural twins of Benchmark/depth_model.py:9-39, reside_model.py and
+midas_custom_model.py: NHWC float images in [0, 1] go in (the torch original
+used NCHW — the layout is an implementation detail of the framework, the
+value contract is identical); ImageNet normalization happens *inside* the
+wrapper (reside_model.py:64-65); ``...HWC`` leading dims are flattened and
+restored; optional ``metadata['scales']`` post-scales the depth.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientdepthestimation_tpu.data.transforms import normalize_imagenet
+
+__all__ = ["DepthModel", "FlatDepthEstimator", "ReSIDEModel", "MidasModel"]
+
+
+class DepthModel(ABC):
+    """Images (..., H, W, C) in [0, 1] → depth (..., H', W')."""
+
+    def __call__(self, images, metadata=None):
+        depth = self.estimate_depth(images)
+        if metadata is not None and "scales" in metadata:
+            factor = jnp.asarray(metadata["scales"])[..., None]
+            depth = depth * factor
+        return depth
+
+    @abstractmethod
+    def estimate_depth(self, images):
+        ...
+
+    @abstractmethod
+    def save(self, file_name):
+        ...
+
+
+class FlatDepthEstimator(DepthModel):
+    """Dummy baseline predicting constant 0 depth (benchmark.py:490-497)."""
+
+    def estimate_depth(self, images):
+        images = jnp.asarray(images)
+        shape = images.shape[:-1]  # (..., H, W)
+        return jnp.zeros(shape, jnp.float32)
+
+    def save(self, file_name):
+        raise NotImplementedError("FlatDepthEstimator has no weights to save")
+
+
+class _WrappedModel(DepthModel):
+    """Common wrapper: flatten leading dims, normalize, jit forward."""
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+
+        @jax.jit
+        def forward(images):
+            images = normalize_imagenet(images)
+            out = self.model.apply(self.variables, images)
+            return out[..., 0]  # (N, H', W')
+
+        self._forward = forward
+
+    def estimate_depth(self, images):
+        images = jnp.asarray(images, jnp.float32)
+        lead = images.shape[:-3]
+        h, w, c = images.shape[-3:]
+        out = self._forward(images.reshape(-1, h, w, c))
+        return out.reshape(lead + out.shape[-2:])
+
+    def save(self, file_name):
+        from efficientdepthestimation_tpu.checkpoints.pth_import import (
+            state_dict_from_variables,
+        )
+
+        sd = state_dict_from_variables(self.model, jax.device_get(self.variables))
+        import torch
+
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, file_name)
+
+
+class ReSIDEModel(_WrappedModel):
+    """Hu2018-decoder wrapper (Benchmark/reside_model.py)."""
+
+    align = 1
+    learning_rate = 0.0001
+    lambda_view_baseline = 0.0001
+
+    def __init__(self, model_path: str | None = None, encoder: str = "resnet50",
+                 pretrained: bool = True, model=None, variables=None):
+        from efficientdepthestimation_tpu.apps.common import load_any_checkpoint
+        from efficientdepthestimation_tpu.apps.common import init_variables
+        from efficientdepthestimation_tpu.models import build_model
+
+        if model is None:
+            if pretrained and model_path:
+                model, variables = load_any_checkpoint(
+                    model_path, model=build_model(encoder, "hu2018"))
+            else:
+                model = build_model(encoder, "hu2018")
+                variables = init_variables(model)
+        super().__init__(model, variables)
+
+
+class MidasModel(_WrappedModel):
+    """MiDaS-decoder wrapper (Benchmark/midas_custom_model.py)."""
+
+    align = 32
+    learning_rate = 0.0001
+    lambda_view_baseline = 0.0001
+
+    def __init__(self, model_path: str | None = None, model=None, variables=None):
+        if model is None:
+            from efficientdepthestimation_tpu.apps.common import load_any_checkpoint
+
+            model, variables = load_any_checkpoint(model_path)
+        super().__init__(model, variables)

@@ -1,0 +1,418 @@
+"""Benchmark orchestration (Benchmark/benchmark.py:500-796, 1042-1378).
+
+Phases per model: cached depth-map generation (.raw metric + min-max .png,
+timed with IO separated, metadata.json cache) → novel-view rendering →
+standard depth benchmark (cached JSON) → visual benchmark
+(SSIM/PSNR/LPIPS/MIFD, cached JSON) → CSV/LaTeX absolute & relative-to-
+baseline reports, barh plot suite and comparison grids.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from efficientdepthestimation_tpu.benchmark.metrics import VisualMetricsTracker
+from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
+from efficientdepthestimation_tpu.training.metrics import (
+    MetricsTracker,
+    depth_metrics_batch,
+)
+from efficientdepthestimation_tpu.utils import Timer, image_io
+
+__all__ = ["create_depth_maps", "test", "test_visual", "save_benchmark_results",
+           "visualise_results", "images_to_grid", "run_benchmark", "main"]
+
+
+def _batched(dataset, batch_size):
+    batch = []
+    for i in range(len(dataset)):
+        batch.append(dataset[i])
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
+def create_depth_maps(output_dir: str, model_loader, dataset, batch_size: int = 4):
+    """Timed, cached inference over ``dataset`` → per-frame .raw (metric) +
+    min-max .png; returns (peak_memory_GB, inference_time, io_time)
+    (benchmark.py:703-796)."""
+    num_samples = len(dataset)
+    metadata_path = os.path.join(output_dir, "metadata.json")
+    raw_dir = os.path.join(output_dir, "raw")
+    png_dir = os.path.join(output_dir, "png")
+    os.makedirs(raw_dir, exist_ok=True)
+    os.makedirs(png_dir, exist_ok=True)
+
+    if (len(os.listdir(raw_dir)) == num_samples
+            and len(os.listdir(png_dir)) == num_samples
+            and os.path.isfile(metadata_path)):
+        print("Found cached results.")
+        with open(metadata_path) as f:
+            metadata = json.load(f)
+        return (metadata["peak_memory_usage"],
+                datetime.timedelta(seconds=metadata["inference_time"]),
+                datetime.timedelta(seconds=metadata["io_time"]))
+
+    inference_timer = Timer()
+    io_time = datetime.timedelta()
+    model = model_loader() if callable(model_loader) else model_loader
+
+    with inference_timer:
+        progress = 0
+        for batch in _batched(dataset, batch_size):
+            images = jnp.asarray(np.stack([s["image"] for s in batch]))
+            outputs = model(images)
+            if outputs.ndim == 3:
+                outputs = outputs[..., None]
+            outputs = resize_bilinear_align_corners(outputs, images.shape[1:3])
+            tiny = np.finfo(np.float32).tiny
+            outputs = np.asarray(jax.block_until_ready(outputs))[..., 0]
+            normalised = (outputs - outputs.min()) / (outputs.max() - outputs.min() + tiny)
+
+            io_timer = Timer()
+            with io_timer:
+                for depth_map, norm_map in zip(outputs, normalised):
+                    image_io.save_image(
+                        os.path.join(raw_dir, f"{progress:06d}.raw"), depth_map)
+                    image_io.save_image(
+                        os.path.join(png_dir, f"{progress:06d}.png"), norm_map)
+                    progress += 1
+            io_time += io_timer.elapsed
+            print(f"\rProgress: [{progress:02d}/{num_samples:02d}] "
+                  f"{inference_timer.elapsed}", end="")
+        print()
+
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak_memory = stats.get("peak_bytes_in_use", 0) / 1e9
+    metadata = {
+        "peak_memory_usage": peak_memory,
+        "inference_time": inference_timer.elapsed.total_seconds(),
+        "io_time": io_time.total_seconds(),
+    }
+    with open(metadata_path, "w") as f:
+        json.dump(metadata, f)
+    return peak_memory, inference_timer.elapsed, io_time
+
+
+def test(labels_dataset, outputs_dataset, cache_dir: str, batch_size: int = 4):
+    """Cached standard depth benchmark (benchmark.py:1147-1189)."""
+    metrics_path = os.path.join(cache_dir, "standard_benchmark_metadata.json")
+    os.makedirs(cache_dir, exist_ok=True)
+    if os.path.isfile(metrics_path):
+        print("Found cached results, skipping...")
+        with open(metrics_path) as f:
+            return json.load(f)
+
+    metrics = MetricsTracker()
+    processed = 0
+    for lab_batch, out_batch in zip(_batched(labels_dataset, batch_size),
+                                    _batched(outputs_dataset, batch_size)):
+        labels = np.stack([np.squeeze(np.asarray(s["depth"] if isinstance(s, dict)
+                                                 else s)) for s in lab_batch])
+        outputs = np.stack([np.squeeze(np.asarray(o)) for o in out_batch])
+        outputs = outputs.reshape(labels.shape)
+        metrics.update(jnp.asarray(outputs), jnp.asarray(labels))
+        processed += len(lab_batch)
+        print(f"\rProgress: [{processed:02d}/{len(labels_dataset):02d}] "
+              f"{metrics}", end="")
+    print()
+
+    metrics_dict = metrics.to_dict()
+    with open(metrics_path, "w") as f:
+        json.dump(metrics_dict, f)
+    return metrics_dict
+
+
+def test_visual(labels_dataset, outputs_dataset, cache_dir: str,
+                batch_size: int = 4, lpips_weights=None):
+    """Cached visual benchmark over rendered novel views (benchmark.py:1192-1236)."""
+    metrics_path = os.path.join(cache_dir, "visual_benchmark_metadata.json")
+    os.makedirs(cache_dir, exist_ok=True)
+    if os.path.isfile(metrics_path):
+        print("Found cached results, skipping...")
+        with open(metrics_path) as f:
+            return json.load(f)
+
+    tracker = VisualMetricsTracker(lpips_weights=lpips_weights)
+    processed = 0
+    for lab_batch, out_batch in zip(_batched(labels_dataset, batch_size),
+                                    _batched(outputs_dataset, batch_size)):
+        labels = np.stack([np.asarray(s) for s in lab_batch])
+        outputs = np.stack([np.asarray(o) for o in out_batch])
+        tracker.update(outputs, labels)
+        processed += len(lab_batch)
+        print(f"\rProgress: [{processed:02d}/{len(labels_dataset):02d}] "
+              f"{tracker}", end="")
+    print()
+
+    metrics_dict = tracker.to_dict()
+    with open(metrics_path, "w") as f:
+        json.dump(metrics_dict, f)
+    return metrics_dict
+
+
+def save_benchmark_results(output_path: str, benchmark_results,
+                           relative_to: str | None = None):
+    """CSV + LaTeX, absolute and relative-to-baseline (benchmark.py:1239-1253)."""
+
+    def save_csv_and_tex(df, path):
+        df.to_csv(f"{path}.csv")
+        with open(f"{path}.tex", "w") as f:
+            f.write(df.to_latex(float_format="%.2f"))
+
+    for dataset in benchmark_results:
+        df = pd.DataFrame.from_dict(benchmark_results[dataset], orient="index")
+        if "log10" in df.columns:
+            df = df.drop("log10", axis="columns")
+        save_csv_and_tex(df, os.path.join(output_path, dataset))
+        if relative_to is not None and relative_to in df.index:
+            rel = (df - df.loc[relative_to]) / df.loc[relative_to]
+            save_csv_and_tex(rel, os.path.join(output_path, f"{dataset}-relative"))
+
+
+def visualise_results(output_path: str, absolute_csv: str, relative_csv: str,
+                      relative_to: str):
+    """The 7 barh plots (benchmark.py:1042-1110)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    df_abs = pd.read_csv(absolute_csv, index_col=0)
+    df_rel = pd.read_csv(relative_csv, index_col=0)
+
+    def barh(series, title, fname, baselines=()):
+        series.plot(kind="barh", title=title)
+        for x, label, color in baselines:
+            plt.axvline(x=x, label=label, color=color, linestyle="--")
+        if baselines:
+            plt.legend()
+        plt.tight_layout()
+        plt.savefig(os.path.join(output_path, fname))
+        plt.close()
+
+    if "frame_time" in df_abs:
+        ft = (1000 * df_abs["frame_time"]).sort_values(ascending=False)
+        base = 1000 * df_abs["frame_time"].get(relative_to, np.nan)
+        barh(ft, "Frame Time During Inference (Lower is Better)", "frame_time.png",
+             [(base, "Baseline", "black"), (1000 / 30, "30 fps", "orange"),
+              (1000 / 60, "60 fps", "green")])
+    if "peak_memory_usage" in df_abs:
+        barh(df_abs["peak_memory_usage"].sort_values(ascending=False),
+             "Peak Memory Usage (Lower is Better)", "memory_usage.png",
+             [(df_abs["peak_memory_usage"].get(relative_to, np.nan), "Baseline", "black")])
+    if "abs_rel" in df_rel:
+        barh(1.0 + df_rel["abs_rel"].sort_values(ascending=False),
+             "Relative ABS_REL (Lower is Better)", "abs_rel.png",
+             [(1.0, "Baseline", "black")])
+    if "delta1" in df_rel:
+        barh(1.0 + df_rel["delta1"].sort_values(),
+             "Relative DELTA1 (Higher is Better)", "delta1.png",
+             [(1.0, "Baseline", "black")])
+    for key, title in (("ssim", "SSIM (Higher is Better)"),
+                       ("psnr", "PSNR (Higher is Better)"),
+                       ("lpips", "LPIPS")):
+        if key in df_abs and df_abs[key].notna().any():
+            barh(df_abs[key].sort_values(), title, f"{key}.png",
+                 [(df_abs[key].get(relative_to, np.nan), "Baseline", "black")])
+
+
+def images_to_grid(base_dir: str, output_type: str = "depth",
+                   num_samples: int = 4) -> np.ndarray:
+    """Model-comparison grid: rows = models, cols = samples
+    (benchmark.py:1267-1378 equivalent)."""
+    from PIL import Image
+
+    rows = []
+    for model_name in sorted(os.listdir(base_dir)):
+        model_dir = os.path.join(base_dir, model_name)
+        if output_type == "depth":
+            png_dir = os.path.join(model_dir, "depth", "png")
+        else:
+            png_dir = os.path.join(model_dir, "rendered_images", "image")
+        if not os.path.isdir(png_dir):
+            continue
+        paths = []
+        if output_type == "depth":
+            paths = [os.path.join(png_dir, f) for f in sorted(os.listdir(png_dir))]
+        else:
+            for sub in sorted(os.listdir(png_dir)):
+                files = sorted(os.listdir(os.path.join(png_dir, sub)))
+                if files:
+                    paths.append(os.path.join(png_dir, sub, files[0]))
+        paths = paths[:num_samples]
+        if not paths:
+            continue
+        imgs = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+        rows.append(np.concatenate(imgs, axis=1))
+    if not rows:
+        raise FileNotFoundError(f"No model outputs under {base_dir}")
+    width = min(r.shape[1] for r in rows)
+    return np.concatenate([r[:, :width] for r in rows], axis=0)
+
+
+def run_benchmark(benchmark_results, dataset_name, model_name, output_path,
+                  depth_labels, depth_outputs, render_labels, render_outputs,
+                  baseline_model, batch_size=4, lpips_weights=None):
+    """Standard + visual benchmark with timing (benchmark.py:596-618)."""
+    print("Standard Benchmark")
+    cache_dir = os.path.join(output_path, dataset_name, model_name)
+    timer = Timer()
+    with timer:
+        metrics = test(depth_labels, depth_outputs, cache_dir, batch_size)
+    benchmark_results[dataset_name][model_name].update(metrics)
+    benchmark_results[dataset_name][model_name]["standard_benchmark_time"] = \
+        timer.elapsed.total_seconds()
+    print(f"Standard Benchmark Elapsed Time: {timer.elapsed}\n")
+
+    print("Visual Benchmark")
+    timer = Timer()
+    with timer:
+        metrics = test_visual(render_labels, render_outputs, cache_dir,
+                              batch_size, lpips_weights)
+    benchmark_results[dataset_name][model_name].update(metrics)
+    benchmark_results[dataset_name][model_name]["visual_benchmark_time"] = \
+        timer.elapsed.total_seconds()
+    print(f"Visual Benchmark Elapsed Time: {timer.elapsed}\n")
+
+    save_benchmark_results(output_path, benchmark_results, relative_to=baseline_model)
+
+
+def main(args=None):
+    """Full user-centred benchmark (benchmark.py:500-679)."""
+    import argparse
+
+    from efficientdepthestimation_tpu.benchmark.datasets import (
+        DepthDataset,
+        ImageFolderDataset,
+        NestedImageFolderDataset,
+        nyu_eval_sample,
+    )
+    from efficientdepthestimation_tpu.benchmark.depth_model import (
+        FlatDepthEstimator,
+        MidasModel,
+        ReSIDEModel,
+    )
+    from efficientdepthestimation_tpu.benchmark.noise import create_noisy_depth_maps
+    from efficientdepthestimation_tpu.benchmark.renderer import create_rendered_images
+
+    parser = argparse.ArgumentParser(description="User-centred depth benchmark")
+    parser.add_argument("--csv-path", default="./data/nyu2_test.csv")
+    parser.add_argument("--output-path", default="benchmark_out")
+    parser.add_argument("--batch-size", default=4, type=int)
+    parser.add_argument("--renderer-fps", default=60, type=int)
+    parser.add_argument("--baseline-model", default="reside_senet")
+    parser.add_argument("--models", nargs="*", default=None,
+                        help="name=checkpoint pairs, e.g. reside_enb0=ENB0-HU.pth")
+    parser.add_argument("--include-flat", action="store_true", default=True)
+    args = parser.parse_args(args)
+
+    benchmark_results = defaultdict(lambda: defaultdict(dict))
+    dataset_name = "nyu"
+    out_root = args.output_path
+    os.makedirs(out_root, exist_ok=True)
+
+    labels = DepthDataset(args.csv_path, transform=nyu_eval_sample(1))
+    labels_x32 = DepthDataset(args.csv_path, transform=nyu_eval_sample(32))
+
+    print("Creating rendered images for dataset...")
+    gt_render_dir = os.path.join(out_root, dataset_name, "ground_truth")
+    gt_render_time = create_rendered_images(gt_render_dir, labels,
+                                            fps=args.renderer_fps)
+    gt_renders = NestedImageFolderDataset(os.path.join(gt_render_dir, "image"))
+    print(f"Dataset Rendering Elapsed Time: {gt_render_time}\n")
+
+    print("Creating ground truth depth maps with added noise...")
+    noisy_dir = os.path.join(out_root, dataset_name, "random")
+    noisy_png_dir = os.path.join(noisy_dir, "depth", "png")
+    create_noisy_depth_maps(noisy_png_dir,
+                            (labels[i]["depth"] for i in range(len(labels))))
+    noisy_maps = ImageFolderDataset(noisy_png_dir)
+
+    print("Creating rendered images for noisy depth maps...")
+    noisy_render_dir = os.path.join(noisy_dir, "rendered_images")
+    create_rendered_images(noisy_render_dir, labels, depth_loader=noisy_maps,
+                           fps=args.renderer_fps)
+    noisy_renders = NestedImageFolderDataset(os.path.join(noisy_render_dir, "image"))
+
+    run_benchmark(benchmark_results, dataset_name, "random", out_root,
+                  labels, noisy_maps, gt_renders, noisy_renders,
+                  args.baseline_model, args.batch_size)
+
+    model_loaders = []
+    for spec in args.models or []:
+        name, _, path = spec.partition("=")
+        if name.startswith("midas") or "-LR" in path or "lasinger" in path:
+            model_loaders.append((name, (lambda p=path: MidasModel(p)), labels_x32))
+        else:
+            from efficientdepthestimation_tpu.models.registry import (
+                parse_checkpoint_name,
+            )
+
+            enc, _ = parse_checkpoint_name(path)
+            model_loaders.append(
+                (name, (lambda p=path, e=enc: ReSIDEModel(p, encoder=e)), labels_x32))
+    if args.include_flat:
+        model_loaders.append(("flat", FlatDepthEstimator, labels_x32))
+
+    for model_name, model_loader, data in model_loaders:
+        print("=" * 80)
+        print(dataset_name, model_name)
+        print("=" * 80)
+
+        depth_dir = os.path.join(out_root, dataset_name, model_name, "depth")
+        peak_mem, infer_time, io_time = create_depth_maps(
+            depth_dir, model_loader, data, args.batch_size)
+        no_io = infer_time - io_time
+        results = benchmark_results[dataset_name][model_name]
+        results["peak_memory_usage"] = peak_mem
+        results["inference_time"] = infer_time.total_seconds()
+        results["inference_time_no_io"] = no_io.total_seconds()
+        results["frame_time"] = no_io.total_seconds() / len(data)
+
+        outputs = ImageFolderDataset(os.path.join(depth_dir, "raw"))
+
+        render_dir = os.path.join(out_root, dataset_name, model_name,
+                                  "rendered_images")
+        render_time = create_rendered_images(render_dir, labels,
+                                             depth_loader=outputs,
+                                             fps=args.renderer_fps)
+        results["render_time"] = render_time.total_seconds()
+        model_renders = NestedImageFolderDataset(os.path.join(render_dir, "image"))
+
+        run_benchmark(benchmark_results, dataset_name, model_name, out_root,
+                      data, outputs, gt_renders, model_renders,
+                      args.baseline_model, args.batch_size)
+
+    from PIL import Image
+
+    base = os.path.join(out_root, dataset_name)
+    for output_type in ("depth", "rendered_images"):
+        try:
+            grid = images_to_grid(base, output_type)
+            Image.fromarray(grid).save(
+                os.path.join(base, f"nyu-{output_type}.png"))
+        except FileNotFoundError:
+            pass
+
+    plots = os.path.join(out_root, "plots")
+    os.makedirs(plots, exist_ok=True)
+    abs_csv = os.path.join(out_root, f"{dataset_name}.csv")
+    rel_csv = os.path.join(out_root, f"{dataset_name}-relative.csv")
+    if os.path.isfile(abs_csv) and os.path.isfile(rel_csv):
+        visualise_results(plots, abs_csv, rel_csv, args.baseline_model)
+    return benchmark_results
+
+
+if __name__ == "__main__":
+    main()
