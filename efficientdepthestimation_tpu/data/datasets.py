@@ -39,10 +39,38 @@ class DepthPairDataset:
 
     ``is_test`` selects the depth-encoding convention: 16-bit mm PNGs for the
     test split, 8-bit (×25.5/m) PNGs for training (nyu_transform.py:170-175).
+
+    When the native C++ batch decoder is available and all files share the
+    expected NYU shape (480×640), whole batches are decoded through it on a
+    C++ thread pool (``load_batch``); otherwise per-sample PIL decode is used.
     """
 
     csv_file: str
     is_test: bool = False
+    use_native: bool = True
+    image_hw: tuple[int, int] = (480, 640)
+
+    def load_batch(self, indices) -> tuple[np.ndarray, np.ndarray] | None:
+        """Decode a whole batch natively; None → caller falls back to PIL."""
+        if not self.use_native:
+            return None
+        try:
+            from efficientdepthestimation_tpu import native
+        except Exception:
+            return None
+        if not native.is_available():
+            return None
+        h, w = self.image_hw
+        image_paths = [self.rows[int(i)][0] for i in indices]
+        depth_paths = [self.rows[int(i)][1] for i in indices]
+        try:
+            images = native.decode_rgb_batch(image_paths, h, w)
+            depths = native.decode_depth16_batch(depth_paths, h, w)
+        except IOError:
+            return None
+        if not self.is_test:
+            depths = depths.astype(np.uint8)  # train depths are 8-bit PNGs
+        return images, depths
 
     def __post_init__(self):
         root = os.path.dirname(os.path.abspath(self.csv_file))
@@ -109,6 +137,8 @@ def batch_iterator(
     def fetch(i):
         return dataset[int(i)]
 
+    native_loader = getattr(dataset, "load_batch", None)
+
     with cf.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         for start in range(0, len(indices), batch_size):
             chunk = indices[start:start + batch_size]
@@ -119,8 +149,17 @@ def batch_iterator(
                     chunk = np.concatenate(
                         [chunk, np.repeat(chunk[-1:], batch_size - len(chunk))]
                     )
-            samples = list(pool.map(fetch, chunk))
             num_valid = min(batch_size, len(indices) - start)
+
+            if native_loader is not None:
+                batch = native_loader(chunk)
+                if batch is not None:
+                    images, depths = batch
+                    yield {"image": images, "depth": depths,
+                           "num_valid": num_valid}
+                    continue
+
+            samples = list(pool.map(fetch, chunk))
             if isinstance(samples[0], tuple):
                 images = np.stack([s[0] for s in samples])
                 depths = np.stack([s[1] for s in samples])
