@@ -136,6 +136,33 @@ def load_midas(path_or_file):
     return model, variables
 
 
+def save_discriminator(path_or_file, model, variables) -> None:
+    """Discriminator schema {'weights','options','version'}
+    (lasinger2019.py:457-472)."""
+    header = {
+        "format": "discriminator",
+        "options": {
+            "in_channels": int(model.in_channels),
+            "adversarial_training": bool(model.adversarial_training),
+        },
+        "version": MIDAS_CHECKPOINT_VERSION,
+    }
+    _write(path_or_file, header, variables)
+
+
+def load_discriminator(path_or_file):
+    from efficientdepthestimation_tpu.models.midas import Discriminator
+
+    header, variables = _read(path_or_file)
+    if header.get("format") != "discriminator":
+        raise ValueError("Not a Discriminator checkpoint")
+    if header.get("version") != MIDAS_CHECKPOINT_VERSION:
+        warnings.warn(
+            f"Version mismatch: checkpoint {header.get('version')} vs "
+            f"{MIDAS_CHECKPOINT_VERSION}.")
+    return Discriminator(**header["options"]), variables
+
+
 def _encoder_name(model) -> str:
     factory = model.encoder_factory
     keywords = getattr(factory, "keywords", {}) or {}

@@ -1,0 +1,71 @@
+"""End-to-end training CLI smoke test on a tiny synthetic NYU dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synthetic_nyu(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("nyu")
+    rng = np.random.default_rng(0)
+
+    def make_pair(i, train):
+        img = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+        img_path = str(root / f"{'tr' if train else 'te'}_{i}_rgb.png")
+        Image.fromarray(img).save(img_path)
+        if train:
+            depth = rng.integers(10, 250, (480, 640), dtype=np.uint8)
+            d_path = str(root / f"tr_{i}_d.png")
+            Image.fromarray(depth).save(d_path)
+        else:
+            depth = rng.integers(500, 9000, (480, 640)).astype(np.uint16)
+            d_path = str(root / f"te_{i}_d.png")
+            Image.fromarray(depth, mode="I;16").save(d_path)
+        return img_path, d_path
+
+    train_csv = root / "nyu2_train.csv"
+    with open(train_csv, "w") as f:
+        for i in range(8):
+            f.write(",".join(make_pair(i, True)) + "\n")
+    test_csv = root / "nyu2_test.csv"
+    with open(test_csv, "w") as f:
+        for i in range(2):
+            f.write(",".join(make_pair(i, False)) + "\n")
+    return dict(train_csv=str(train_csv), test_csv=str(test_csv), root=root)
+
+
+def test_train_cli_one_epoch(synthetic_nyu, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("WANDB_MODE", "dryrun")
+
+    from efficientdepthestimation_tpu.apps import train
+
+    ckpt = train.main([
+        "--encoder", "resnet18",
+        "--decoder", "hu2018",
+        "--epochs", "1",
+        "--train-csv", synthetic_nyu["train_csv"],
+        "--test-csv", synthetic_nyu["test_csv"],
+        "--per-device-batch", "1",
+    ])
+    assert os.path.isfile(ckpt)
+    run_dir = os.path.dirname(ckpt)
+    with open(os.path.join(run_dir, "log.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 1
+    assert np.isfinite(records[0]["abs_rel"])
+    assert "vram_usage" in records[0] and "training_frame_time" in records[0]
+    # example images were logged
+    media = os.path.join(run_dir, "media", "examples")
+    assert os.path.isdir(media) and len(os.listdir(media)) > 0
+
+    # the checkpoint round-trips through the generic loader
+    from efficientdepthestimation_tpu.apps.common import load_any_checkpoint
+
+    model, variables = load_any_checkpoint(ckpt)
+    assert "params" in variables
