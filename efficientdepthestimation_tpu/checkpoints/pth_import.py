@@ -283,16 +283,17 @@ def import_pth(path: str, model=None, example_input_hw: tuple[int, int] = (228, 
                 f"Version mismatch: checkpoint {version} vs "
                 f"{MIDAS_CHECKPOINT_VERSION}; loading may fail."
             )
-        enc_cfg = state["encoder"]
-        dec_cfg = state["decoder"]
-        w_in, h_in = state.get("input_size") or state["output_size"]
-        w_out, h_out = state["output_size"]
-        model = build_model(
-            enc_cfg["name"], "lasinger2019",
-            output_size=(h_out, w_out), input_size=(h_in, w_in),
-            num_features=dec_cfg.get("num_features", "auto"),
-            non_negative=dec_cfg.get("non_negative", False),
-        )
+        if model is None:
+            enc_cfg = state["encoder"]
+            dec_cfg = state["decoder"]
+            w_in, h_in = state.get("input_size") or state["output_size"]
+            w_out, h_out = state["output_size"]
+            model = build_model(
+                enc_cfg["name"], "lasinger2019",
+                output_size=(h_out, w_out), input_size=(h_in, w_in),
+                num_features=dec_cfg.get("num_features", "auto"),
+                non_negative=dec_cfg.get("non_negative", False),
+            )
         state_dict = state["weights"]
         senet = False
     else:

@@ -100,6 +100,11 @@ class DecoderBlock(nn.Module):
         res2 = _make_block(self.block_type, self.features, self.features, "res_block2")
         if prev is None:
             out = res1(enc, train)
+            if self.is_initializing():
+                # The reference parameterizes res_block2 on the deepest block
+                # even though its forward never runs it (lasinger2019.py:238-242);
+                # materialize the params so checkpoints line up key-for-key.
+                res2(out, train)
         else:
             out = prev + res1(enc, train)
             out = res2(out, train)

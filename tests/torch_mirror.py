@@ -232,3 +232,245 @@ def randomize_bn_stats(model, seed=0):
             m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.3)
             m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
     return model
+
+
+# ---------------------------------------------------------------------------
+# SENet-154 (Cadene semantics: 3×3 stem trio, ceil-mode pool, grouped blocks)
+# ---------------------------------------------------------------------------
+
+
+class TorchSEBottleneck(nn.Module):
+    def __init__(self, cin, planes, stride=1, groups=64, reduction=16,
+                 down_kernel=1, down_pad=0):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, planes * 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes * 2)
+        self.conv2 = nn.Conv2d(planes * 2, planes * 4, 3, stride, 1,
+                               groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes * 4)
+        self.conv3 = nn.Conv2d(planes * 4, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.se_module = nn.Module()
+        self.se_module.fc1 = nn.Conv2d(planes * 4, planes * 4 // reduction, 1)
+        self.se_module.fc2 = nn.Conv2d(planes * 4 // reduction, planes * 4, 1)
+        if stride != 1 or cin != planes * 4:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, planes * 4, down_kernel, stride, down_pad,
+                          bias=False),
+                nn.BatchNorm2d(planes * 4))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        se = F.adaptive_avg_pool2d(y, 1)
+        se = torch.sigmoid(self.se_module.fc2(F.relu(self.se_module.fc1(se))))
+        y = y * se
+        r = self.downsample(x) if self.downsample is not None else x
+        return F.relu(y + r)
+
+
+class TorchSENetFeatures(nn.Module):
+    """Publishes keys through a `base` Sequential like E_senet does."""
+
+    def __init__(self, layers=(3, 8, 36, 3)):
+        super().__init__()
+        from collections import OrderedDict as OD
+
+        layer0 = nn.Sequential(OD([
+            ("conv1", nn.Conv2d(3, 64, 3, 2, 1, bias=False)),
+            ("bn1", nn.BatchNorm2d(64)),
+            ("relu1", nn.ReLU()),
+            ("conv2", nn.Conv2d(64, 64, 3, 1, 1, bias=False)),
+            ("bn2", nn.BatchNorm2d(64)),
+            ("relu2", nn.ReLU()),
+            ("conv3", nn.Conv2d(64, 128, 3, 1, 1, bias=False)),
+            ("bn3", nn.BatchNorm2d(128)),
+            ("relu3", nn.ReLU()),
+            ("pool", nn.MaxPool2d(3, 2, ceil_mode=True)),
+        ]))
+        stages = [layer0]
+        cin = 128
+        for stage, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
+            blocks = []
+            for i in range(n):
+                stride = 1 if (stage == 0 or i > 0) else 2
+                dk, dp = (1, 0) if stage == 0 else (3, 1)
+                blocks.append(TorchSEBottleneck(cin, planes, stride,
+                                                down_kernel=dk, down_pad=dp))
+                cin = planes * 4
+            stages.append(nn.Sequential(*blocks))
+        self.base = nn.Sequential(*stages)
+
+    def forward(self, x):
+        x = self.base[0](x)
+        t1 = self.base[1](x)
+        t2 = self.base[2](t1)
+        t3 = self.base[3](t2)
+        t4 = self.base[4](t3)
+        return t1, t2, t3, t4
+
+
+# ---------------------------------------------------------------------------
+# DenseNet-161 (vendored old-torchvision semantics; dotted key names are
+# produced by renaming on export since modern torch forbids '.' in names)
+# ---------------------------------------------------------------------------
+
+
+class TorchDenseLayer(nn.Module):
+    def __init__(self, cin, growth, bn_size=4):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, bn_size * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth)
+        self.conv2 = nn.Conv2d(bn_size * growth, growth, 3, 1, 1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(F.relu(self.norm1(x)))
+        y = self.conv2(F.relu(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+class TorchDenseNetFeatures(nn.Module):
+    """DenseNet-161-shaped with E_densenet's mid-transition taps."""
+
+    def __init__(self, init=96, growth=48, config=(6, 12, 36, 24)):
+        super().__init__()
+        from collections import OrderedDict as OD
+
+        self.features = nn.Module()
+        self.features.conv0 = nn.Conv2d(3, init, 7, 2, 3, bias=False)
+        self.features.norm0 = nn.BatchNorm2d(init)
+        c = init
+        self.config = config
+        for bi, n in enumerate(config):
+            block = nn.Module()
+            for li in range(n):
+                block.add_module(f"denselayer{li + 1}",
+                                 TorchDenseLayer(c + li * growth, growth))
+            setattr(self.features, f"denseblock{bi + 1}", block)
+            c += n * growth
+            if bi < 3:
+                trans = nn.Module()
+                trans.norm = nn.BatchNorm2d(c)
+                trans.conv = nn.Conv2d(c, c // 2, 1, bias=False)
+                setattr(self.features, f"transition{bi + 1}", trans)
+                c = c // 2
+            else:
+                self.features.norm5 = nn.BatchNorm2d(c)
+
+    def forward(self, x):
+        f = self.features
+        x = F.max_pool2d(F.relu(f.norm0(f.conv0(x))), 3, 2, 1)
+        taps = []
+        for bi, n in enumerate(self.config):
+            block = getattr(f, f"denseblock{bi + 1}")
+            for li in range(n):
+                x = getattr(block, f"denselayer{li + 1}")(x)
+            if bi < 3:
+                trans = getattr(f, f"transition{bi + 1}")
+                x = trans.conv(F.relu(trans.norm(x)))
+                taps.append(x)
+                x = F.avg_pool2d(x, 2, 2)
+            else:
+                x = F.relu(f.norm5(x))
+                taps.append(x)
+        return taps
+
+
+def densenet_export_keys(state_dict):
+    """Rename denselayer norm1/conv1 → the vendored dotted convention."""
+    out = {}
+    for key, value in state_dict.items():
+        if "denselayer" in key:
+            for a, b in (("norm1", "norm.1"), ("conv1", "conv.1"),
+                         ("norm2", "norm.2"), ("conv2", "conv.2")):
+                key = key.replace(f".{a}.", f".{b}.")
+        out[key] = value
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MiDaS decoder (+ assembled MidasNet with Sequential-wrapped encoders)
+# ---------------------------------------------------------------------------
+
+
+class TorchResidualBlock(nn.Module):
+    def __init__(self, cin, cout=None, stride=1):
+        super().__init__()
+        cout = cout or cin
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        if cin != cout:
+            self.down_sample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+        else:
+            self.down_sample = None
+
+    def forward(self, x):
+        y = F.relu(x)
+        y = F.relu(self.bn1(self.conv1(y)))
+        y = self.bn2(self.conv2(y))
+        return y + (self.down_sample(x) if self.down_sample is not None else x)
+
+
+class TorchDecoderBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.res_block1 = TorchResidualBlock(cin, cout)
+        self.res_block2 = TorchResidualBlock(cout)
+
+    def forward(self, enc, prev, size):
+        if prev is None:
+            out = self.res_block1(enc)
+        else:
+            out = prev + self.res_block1(enc)
+            out = self.res_block2(out)
+        return F.interpolate(out, size=size, mode="bilinear", align_corners=True)
+
+
+class TorchMidasNet(nn.Module):
+    """ResNet-encoder MidasNet with the reference's Sequential key layout."""
+
+    def __init__(self, layers=(2, 2, 2, 2), block_channels=(256, 512, 1024, 2048),
+                 output_size_hw=(56, 72)):
+        super().__init__()
+        rn = TorchResNetFeatures(layers)
+        self.encoder = nn.Module()
+        self.encoder.blocks = nn.ModuleList([
+            nn.Sequential(rn.conv1, rn.bn1, nn.ReLU(), rn.maxpool, rn.layer1),
+            nn.Sequential(rn.layer2),
+            nn.Sequential(rn.layer3),
+            nn.Sequential(rn.layer4),
+        ])
+        f = block_channels[0]
+        self.decoder = nn.Module()
+        self.decoder.blocks = nn.ModuleList([
+            TorchDecoderBlock(c, f) for c in reversed(block_channels)])
+        self.decoder.conv1 = nn.Conv2d(f, 128, 3, 1, 1, bias=False)
+        self.decoder.bn1 = nn.BatchNorm2d(128)
+        self.decoder.conv2 = nn.Conv2d(128, 32, 3, 1, 1, bias=False)
+        self.decoder.bn2 = nn.BatchNorm2d(32)
+        self.decoder.conv3 = nn.Conv2d(32, 1, 1, bias=True)
+        self.output_size_hw = output_size_hw
+
+    def forward(self, x):
+        taps = []
+        for block in self.encoder.blocks:
+            x = block(x)
+            taps.append(x)
+        sizes = [t.shape[-2:] for t in reversed(taps[:-1])]
+        sizes.append((sizes[-1][0] * 2, sizes[-1][1] * 2))
+        out = None
+        for block, enc, size in zip(self.decoder.blocks, reversed(taps), sizes):
+            out = block(enc, out, size)
+        out = F.relu(self.decoder.bn1(self.decoder.conv1(out)))
+        out = F.interpolate(out, size=self.output_size_hw, mode="bilinear",
+                            align_corners=True)
+        out = F.relu(self.decoder.bn2(self.decoder.conv2(out)))
+        return self.decoder.conv3(out)
