@@ -1,0 +1,106 @@
+"""Per-stage performance analysis on the real TPU chip.
+
+Measures the e2e serving pipeline (uint8 640×480 → preprocess → model →
+upsample → 640×480 depth) and its stages for each flagship model, across
+batch sizes and precisions. Run: ``python perf/analyze.py [--models ...]``.
+Writes a JSON report to perf/report.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure(fn, *args, warmup=3, iters=20):
+    import jax
+
+    out = jax.block_until_ready(fn(*args))
+    for _ in range(warmup):
+        out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import init_variables
+    from efficientdepthestimation_tpu.data.transforms import (
+        eval_preprocess_image_only,
+    )
+    from efficientdepthestimation_tpu.models import build_model
+    from efficientdepthestimation_tpu.ops.resize import (
+        resize_bilinear_align_corners,
+    )
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--models", nargs="*", default=[
+        "efficientnet-b0:hu2018", "efficientnet-b4:hu2018", "resnet50:hu2018",
+        "efficientnet-b0:lasinger2019", "resnet50:lasinger2019",
+    ])
+    parser.add_argument("--batches", nargs="*", type=int, default=[8, 32, 128])
+    parser.add_argument("--output", default="perf/report.json")
+    args = parser.parse_args()
+
+    rng = np.random.default_rng(0)
+    report = {"device": str(jax.devices()[0]), "results": []}
+
+    for spec in args.models:
+        encoder, decoder = spec.split(":")
+        model = build_model(encoder, decoder)
+        for batch in args.batches:
+            frames = jnp.asarray(
+                rng.integers(0, 256, (batch, 480, 640, 3), dtype=np.uint8))
+            variables = init_variables(model, (228, 304), batch=batch)
+            for dtype_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+                cast_vars = jax.tree_util.tree_map(
+                    lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+                    variables)
+
+                @jax.jit
+                def stage_pre(fr):
+                    return eval_preprocess_image_only(fr).astype(dtype)
+
+                @jax.jit
+                def stage_model(images):
+                    return model.apply(cast_vars, images)
+
+                @jax.jit
+                def stage_up(depth):
+                    return resize_bilinear_align_corners(
+                        depth.astype(jnp.float32), (480, 640))
+
+                @jax.jit
+                def full(fr):
+                    return stage_up(stage_model(stage_pre(fr)))
+
+                images = jax.block_until_ready(stage_pre(frames))
+                depth = jax.block_until_ready(stage_model(images))
+                entry = {
+                    "model": spec, "batch": batch, "dtype": dtype_name,
+                    "preprocess_ms": measure(stage_pre, frames) * 1e3,
+                    "model_ms": measure(stage_model, images) * 1e3,
+                    "upsample_ms": measure(stage_up, depth) * 1e3,
+                    "e2e_ms": measure(full, frames) * 1e3,
+                }
+                entry["fps_per_chip"] = batch / (entry["e2e_ms"] / 1e3)
+                report["results"].append(entry)
+                print(json.dumps(entry))
+
+    import os
+
+    os.makedirs("perf", exist_ok=True)
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
