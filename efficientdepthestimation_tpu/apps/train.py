@@ -70,6 +70,10 @@ def parse_args(args: Optional[List[str]] = None):
     parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)
     parser.add_argument("--per-device-batch", default=8, type=int)
     parser.add_argument("--use-pallas-loss", action="store_true")
+    parser.add_argument("--freeze-encoder", action="store_true",
+                        help="Train the decoder only (lasinger2019.py:36-38).")
+    parser.add_argument("--resume", default=None, type=str,
+                        help="Path to a train-state checkpoint for exact resume.")
     parser.add_argument("--seed", default=0, type=int)
     return parser.parse_args(args=args)
 
@@ -95,10 +99,21 @@ def main(args: Optional[List[str]] = None):
     test_ds = DepthPairDataset(args.test_csv, is_test=True)
     steps_per_epoch = max(1, len(train_ds) // batch_size)
 
-    tx = adam_with_l2(step_lr(args.lr, steps_per_epoch), args.weight_decay)
+    frozen = ("E", "encoder") if args.freeze_encoder else ()
+    frozen = tuple(k for k in frozen if k in variables["params"])
+    tx = adam_with_l2(step_lr(args.lr, steps_per_epoch), args.weight_decay,
+                      frozen_prefixes=frozen)
     state = create_train_state(model, variables, tx)
+    if args.resume:
+        from efficientdepthestimation_tpu.checkpoints.serialization import (
+            load_train_state,
+        )
+
+        state, resume_header = load_train_state(args.resume, state)
+        args.start_epoch = max(args.start_epoch, resume_header["epoch"] + 1)
+        print(f"Resumed from {args.resume} at epoch {args.start_epoch}")
     state = jax.device_put(state, replicated_sharding(mesh))
-    if args.start_epoch:
+    if args.start_epoch and not args.resume:
         state = state.replace(step=jnp.asarray(args.start_epoch * steps_per_epoch))
 
     train_step = make_train_step(use_pallas_loss=args.use_pallas_loss)
@@ -141,6 +156,14 @@ def main(args: Optional[List[str]] = None):
             else:
                 save_checkpoint(checkpoint_path, host_vars,
                                 encoder=args.encoder, decoder=args.decoder)
+
+        # rolling full train-state checkpoint for exact resume (--resume)
+        from efficientdepthestimation_tpu.checkpoints.serialization import (
+            save_train_state,
+        )
+
+        save_train_state(os.path.join(logger.dir, "train_state.ede"), state,
+                         encoder=args.encoder, decoder=args.decoder, epoch=epoch)
 
         # example depth images from the first test batch (train.py:163-177)
         example_batch = next(batch_iterator(test_ds, min(batch_size, 8), pad_last=True))

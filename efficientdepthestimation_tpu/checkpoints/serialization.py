@@ -136,6 +136,53 @@ def load_midas(path_or_file):
     return model, variables
 
 
+def save_train_state(path_or_file, state, *, encoder: str, decoder: str,
+                     epoch: int) -> None:
+    """Full training-state checkpoint (params + BN stats + optimizer + step)
+    for exact resume — richer than the reference's weights-only restart
+    (``--start-epoch`` + manual reload, SURVEY §5 checkpoint/resume)."""
+    header = {
+        "format": "train-state",
+        "encoder": encoder,
+        "decoder": decoder,
+        "epoch": int(epoch),
+        "step": int(state.step),
+        "version": MIDAS_CHECKPOINT_VERSION,
+    }
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        # optax states are namedtuple pytrees; to_state_dict flattens them
+        # into msgpack-able nested dicts (inverted by from_state_dict on load)
+        "opt_state": flax_serialization.to_state_dict(state.opt_state),
+    }
+    _write(path_or_file, header, jax.device_get(payload))
+
+
+def load_train_state(path_or_file, state):
+    """Restore a train-state checkpoint into a freshly-built ``state``
+    (same model + optimizer). Returns (state, header)."""
+    import jax.numpy as jnp
+    from flax import serialization as fs
+
+    header, payload = _read(path_or_file)
+    if header.get("format") != "train-state":
+        raise ValueError("Not a train-state checkpoint")
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    restored = fs.from_state_dict(template, payload)
+    state = state.replace(
+        step=jnp.asarray(header["step"], jnp.int32),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    return state, header
+
+
 def save_discriminator(path_or_file, model, variables) -> None:
     """Discriminator schema {'weights','options','version'}
     (lasinger2019.py:457-472)."""

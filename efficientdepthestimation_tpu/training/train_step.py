@@ -58,13 +58,29 @@ def step_lr(base_lr: float, steps_per_epoch: int, step_size: int = 5,
     return schedule
 
 
-def adam_with_l2(learning_rate, weight_decay: float = 1e-4) -> optax.GradientTransformation:
+def adam_with_l2(learning_rate, weight_decay: float = 1e-4,
+                 frozen_prefixes: tuple[str, ...] = ()) -> optax.GradientTransformation:
     """torch ``Adam(lr, weight_decay)`` = L2 added to the gradient *before*
-    the Adam moments (not AdamW) — train.py:104."""
-    return optax.chain(
+    the Adam moments (not AdamW) — train.py:104.
+
+    ``frozen_prefixes``: top-level param-tree keys to freeze (zero updates) —
+    the TPU equivalent of ``Encoder(freeze_weights=True)``'s
+    ``requires_grad_(False)`` (lasinger2019.py:36-38); e.g. ("E",) or
+    ("encoder",).
+    """
+    tx = optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.adam(learning_rate),
     )
+    if not frozen_prefixes:
+        return tx
+
+    def label(params):
+        return {key: ("frozen" if key in frozen_prefixes else "trained")
+                for key in params}
+
+    return optax.multi_transform(
+        {"trained": tx, "frozen": optax.set_to_zero()}, label)
 
 
 def create_train_state(model, variables, tx: optax.GradientTransformation) -> TrainState:
