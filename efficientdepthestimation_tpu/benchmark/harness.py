@@ -261,6 +261,39 @@ def images_to_grid(base_dir: str, output_type: str = "depth",
     return np.concatenate([r[:, :width] for r in rows], axis=0)
 
 
+def get_sample_output(model, dataset, num_samples: int = 8,
+                      batch_size: int = 4) -> np.ndarray:
+    """First ``num_samples`` predictions, upsampled to label size and
+    jointly min-max normalized (benchmark.py:1114-1144)."""
+    samples = []
+    for batch in _batched(dataset, batch_size):
+        images = jnp.asarray(np.stack([s["image"] for s in batch]))
+        depths = np.stack([s["depth"] for s in batch])
+        out = model(images)
+        if out.ndim == 3:
+            out = out[..., None]
+        out = resize_bilinear_align_corners(out, depths.shape[1:3])
+        samples.append(np.asarray(out))
+        if sum(len(s) for s in samples) >= num_samples:
+            break
+    stacked = np.concatenate(samples)[:num_samples]
+    return (stacked - stacked.min()) / max(stacked.max() - stacked.min(),
+                                           np.finfo(np.float32).tiny)
+
+
+def save_sample_output(model, model_name, dataset, sample_output_base_dir,
+                       num_samples: int = 8) -> None:
+    """Write normalized sample depth PNGs (benchmark.py:1256-1264)."""
+    from PIL import Image
+
+    samples = get_sample_output(model, dataset, num_samples)
+    out_dir = os.path.join(sample_output_base_dir, model_name, "depth")
+    os.makedirs(out_dir, exist_ok=True)
+    for i, sample in enumerate(samples):
+        arr = (255 * np.squeeze(sample)).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(out_dir, f"{i:02d}.png"))
+
+
 def run_benchmark(benchmark_results, dataset_name, model_name, output_path,
                   depth_labels, depth_outputs, render_labels, render_outputs,
                   baseline_model, batch_size=4, lpips_weights=None):

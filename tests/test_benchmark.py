@@ -240,3 +240,22 @@ def test_mini_benchmark_end_to_end(nyu_csv, tmp_path):
     ])
     assert results2["nyu"]["flat"]["abs_rel"] == pytest.approx(
         flat["abs_rel"], abs=1e-9)
+
+
+def test_get_and_save_sample_output(nyu_csv, tmp_path):
+    from efficientdepthestimation_tpu.benchmark.datasets import (
+        DepthDataset,
+        nyu_eval_sample,
+    )
+    from efficientdepthestimation_tpu.benchmark.depth_model import FlatDepthEstimator
+    from efficientdepthestimation_tpu.benchmark.harness import (
+        get_sample_output,
+        save_sample_output,
+    )
+
+    ds = DepthDataset(nyu_csv, transform=nyu_eval_sample(1))
+    samples = get_sample_output(FlatDepthEstimator(), ds, num_samples=2)
+    assert samples.shape[0] == 2
+    assert 0.0 <= samples.min() and samples.max() <= 1.0
+    save_sample_output(FlatDepthEstimator(), "flat", ds, str(tmp_path))
+    assert len(os.listdir(tmp_path / "flat" / "depth")) == 2
