@@ -34,12 +34,14 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8):
 
     inference_timer = Timer()
     last = None
+    infer = None
     with inference_timer:
         for batch in batch_iterator(dataset, batch_size, pad_last=True):
             frames = jnp.asarray(batch["image"])
-            h, w = frames.shape[1:3]
+            if infer is None:  # one jit per (shape, checkpoint)
+                h, w = frames.shape[1:3]
+                infer = make_infer_fn(model, variables, upsample_to=(h, w))
             images = eval_preprocess_image_only(frames)
-            infer = make_infer_fn(model, variables, upsample_to=(h, w))
             last = infer(images)
         if last is not None:
             jax.block_until_ready(last)
