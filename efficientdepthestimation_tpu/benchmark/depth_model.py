@@ -57,12 +57,14 @@ class _WrappedModel(DepthModel):
 
     def __init__(self, model, variables):
         self.model = model
-        self.variables = variables
+        # keep weights device-resident and pass them as jit arguments (see
+        # apps/common.make_infer_fn for why closing over them is slow)
+        self.variables = jax.device_put(variables)
 
         @jax.jit
-        def forward(images):
+        def forward(variables, images):
             images = normalize_imagenet(images)
-            out = self.model.apply(self.variables, images)
+            out = self.model.apply(variables, images)
             return out[..., 0]  # (N, H', W')
 
         self._forward = forward
@@ -71,7 +73,7 @@ class _WrappedModel(DepthModel):
         images = jnp.asarray(images, jnp.float32)
         lead = images.shape[:-3]
         h, w, c = images.shape[-3:]
-        out = self._forward(images.reshape(-1, h, w, c))
+        out = self._forward(self.variables, images.reshape(-1, h, w, c))
         return out.reshape(lead + out.shape[-2:])
 
     def save(self, file_name):

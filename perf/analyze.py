@@ -73,7 +73,7 @@ def main():
                     return eval_preprocess_image_only(fr).astype(dtype)
 
                 @jax.jit
-                def stage_model(images):
+                def stage_model(cast_vars, images):
                     return model.apply(cast_vars, images)
 
                 @jax.jit
@@ -82,17 +82,18 @@ def main():
                         depth.astype(jnp.float32), (480, 640))
 
                 @jax.jit
-                def full(fr):
-                    return stage_up(stage_model(stage_pre(fr)))
+                def full(cast_vars, fr):
+                    return stage_up(stage_model(cast_vars, stage_pre(fr)))
 
+                cast_vars = jax.device_put(cast_vars)
                 images = jax.block_until_ready(stage_pre(frames))
-                depth = jax.block_until_ready(stage_model(images))
+                depth = jax.block_until_ready(stage_model(cast_vars, images))
                 entry = {
                     "model": spec, "batch": batch, "dtype": dtype_name,
                     "preprocess_ms": measure(stage_pre, frames) * 1e3,
-                    "model_ms": measure(stage_model, images) * 1e3,
+                    "model_ms": measure(stage_model, cast_vars, images) * 1e3,
                     "upsample_ms": measure(stage_up, depth) * 1e3,
-                    "e2e_ms": measure(full, frames) * 1e3,
+                    "e2e_ms": measure(full, cast_vars, frames) * 1e3,
                 }
                 entry["fps_per_chip"] = batch / (entry["e2e_ms"] / 1e3)
                 report["results"].append(entry)
