@@ -141,3 +141,21 @@ def test_examples_app(workspace, tmp_path):
     files = os.listdir(out_dir)
     assert any(f.endswith("_gt.png") for f in files)
     assert any("RN18-HU" in f for f in files)
+
+
+def test_depth_video_app(workspace, tmp_path):
+    from efficientdepthestimation_tpu.apps import depth_video
+
+    out = depth_video.main([
+        "-i", workspace["frames"], "-m", workspace["ckpt"],
+        "-o", str(tmp_path), "--batch-size", "2",
+    ])
+    assert os.path.exists(out)
+    import cv2
+
+    cap = cv2.VideoCapture(out)
+    assert cap.get(cv2.CAP_PROP_FRAME_COUNT) == 2
+    # hstack(color, depth) at 2×1920 × (1440−2·180)
+    assert cap.get(cv2.CAP_PROP_FRAME_WIDTH) == 3840
+    assert cap.get(cv2.CAP_PROP_FRAME_HEIGHT) == 1080
+    cap.release()
