@@ -2,9 +2,14 @@
 
 Measures the full serving pipeline per frame — uint8 640×480 ingest,
 on-device preprocessing (PIL-parity Scale(240) + CenterCrop 304×228 +
-normalize), flagship ENB0-HU forward, and align-corners upsample of the
-depth map back to 640×480 — i.e. the work `ReSIDE/inference_benchmark.py`
+normalize), flagship ENB0-HU forward in bfloat16, and align-corners upsample
+of the depth map back to 640×480 — i.e. the work `ReSIDE/inference_benchmark.py`
 and `ReSIDE/test_nyu.py` do per frame on GPU.
+
+Timing methodology: steady-state pipelined throughput with *forced
+completion* — a per-call scalar checksum is fetched to the host after the
+timed window (`block_until_ready` alone does not guarantee device completion
+through the axon tunnel; verified experimentally).
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps_per_chip, "unit": "frames/s/chip", "vs_baseline": ...}
@@ -43,10 +48,11 @@ def main() -> None:
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         init_images,
     )
-    # bfloat16 weights + activations: MXU-native inference precision.
-    variables_bf16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
-    )
+    # bfloat16 weights + activations (MXU-native), passed as jit arguments so
+    # they stay device-resident (closure-captured weights re-stage per call).
+    variables = jax.device_put(jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables))
 
     @jax.jit
     def pipeline(variables, frames_u8):
@@ -54,17 +60,19 @@ def main() -> None:
         images = images.astype(jnp.bfloat16)
         depth = model.apply(variables, images)
         depth = resize_bilinear_align_corners(depth.astype(jnp.float32), (480, 640))
-        return depth
+        # scalar checksum: fetching it forces true device completion
+        return depth, jnp.sum(depth)
 
-    out = pipeline(variables_bf16, frames).block_until_ready()
+    out, checksum = pipeline(variables, frames)
     assert out.shape == (BATCH, 480, 640, 1)
     for _ in range(WARMUP):
-        out = pipeline(variables_bf16, frames).block_until_ready()
+        float(pipeline(variables, frames)[1])
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = pipeline(variables_bf16, frames).block_until_ready()
+    sums = [pipeline(variables, frames)[1] for _ in range(ITERS)]
+    values = [float(s) for s in sums]  # forces completion of every step
     dt = time.perf_counter() - t0
+    assert all(np.isfinite(values))
 
     n_chips = max(1, len(jax.devices()))
     fps_per_chip = BATCH * ITERS / dt / n_chips

@@ -2,8 +2,9 @@
 
 Measures the e2e serving pipeline (uint8 640×480 → preprocess → model →
 upsample → 640×480 depth) and its stages for each flagship model, across
-batch sizes and precisions. Run: ``python perf/analyze.py [--models ...]``.
-Writes a JSON report to perf/report.json.
+batch sizes and precisions, with *forced completion* (per-call scalar fetch —
+block_until_ready does not guarantee completion through the axon tunnel).
+Run: ``python perf/analyze.py``; writes perf/report.json.
 """
 
 from __future__ import annotations
@@ -19,16 +20,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(fn, *args, warmup=3, iters=20):
-    import jax
-
-    out = jax.block_until_ready(fn(*args))
+def measure(fn, *args, warmup=2, iters=10):
+    """fn must return a scalar jax array; fetching it forces completion."""
     for _ in range(warmup):
-        out = jax.block_until_ready(fn(*args))
+        float(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / iters
+        value = float(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(value)
+    return dt
 
 
 def main():
@@ -49,12 +50,14 @@ def main():
         "efficientnet-b0:hu2018", "efficientnet-b4:hu2018", "resnet50:hu2018",
         "efficientnet-b0:lasinger2019", "resnet50:lasinger2019",
     ])
-    parser.add_argument("--batches", nargs="*", type=int, default=[8, 32, 128])
+    parser.add_argument("--batches", nargs="*", type=int, default=[32])
+    parser.add_argument("--dtypes", nargs="*", default=["bf16"])
     parser.add_argument("--output", default="perf/report.json")
     args = parser.parse_args()
 
     rng = np.random.default_rng(0)
     report = {"device": str(jax.devices()[0]), "results": []}
+    dtype_map = {"bf16": jnp.bfloat16, "f32": jnp.float32}
 
     for spec in args.models:
         encoder, decoder = spec.split(":")
@@ -63,43 +66,54 @@ def main():
             frames = jnp.asarray(
                 rng.integers(0, 256, (batch, 480, 640, 3), dtype=np.uint8))
             variables = init_variables(model, (228, 304), batch=batch)
-            for dtype_name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-                cast_vars = jax.tree_util.tree_map(
+            for dtype_name in args.dtypes:
+                dtype = dtype_map[dtype_name]
+                cast_vars = jax.device_put(jax.tree_util.tree_map(
                     lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
-                    variables)
+                    variables))
+
+                @jax.jit
+                def pre_s(fr):
+                    return jnp.sum(eval_preprocess_image_only(fr).astype(dtype)
+                                   .astype(jnp.float32))
 
                 @jax.jit
                 def stage_pre(fr):
                     return eval_preprocess_image_only(fr).astype(dtype)
 
                 @jax.jit
-                def stage_model(cast_vars, images):
-                    return model.apply(cast_vars, images)
+                def model_s(v, images):
+                    return jnp.sum(model.apply(v, images).astype(jnp.float32))
 
                 @jax.jit
-                def stage_up(depth):
-                    return resize_bilinear_align_corners(
+                def stage_model(v, images):
+                    return model.apply(v, images)
+
+                @jax.jit
+                def up_s(depth):
+                    return jnp.sum(resize_bilinear_align_corners(
+                        depth.astype(jnp.float32), (480, 640)))
+
+                @jax.jit
+                def full_s(v, fr):
+                    images = eval_preprocess_image_only(fr).astype(dtype)
+                    depth = model.apply(v, images)
+                    depth = resize_bilinear_align_corners(
                         depth.astype(jnp.float32), (480, 640))
+                    return jnp.sum(depth)
 
-                @jax.jit
-                def full(cast_vars, fr):
-                    return stage_up(stage_model(cast_vars, stage_pre(fr)))
-
-                cast_vars = jax.device_put(cast_vars)
                 images = jax.block_until_ready(stage_pre(frames))
                 depth = jax.block_until_ready(stage_model(cast_vars, images))
                 entry = {
                     "model": spec, "batch": batch, "dtype": dtype_name,
-                    "preprocess_ms": measure(stage_pre, frames) * 1e3,
-                    "model_ms": measure(stage_model, cast_vars, images) * 1e3,
-                    "upsample_ms": measure(stage_up, depth) * 1e3,
-                    "e2e_ms": measure(full, cast_vars, frames) * 1e3,
+                    "preprocess_ms": measure(pre_s, frames) * 1e3,
+                    "model_ms": measure(model_s, cast_vars, images) * 1e3,
+                    "upsample_ms": measure(up_s, depth) * 1e3,
+                    "e2e_ms": measure(full_s, cast_vars, frames) * 1e3,
                 }
                 entry["fps_per_chip"] = batch / (entry["e2e_ms"] / 1e3)
                 report["results"].append(entry)
                 print(json.dumps(entry))
-
-    import os
 
     os.makedirs("perf", exist_ok=True)
     with open(args.output, "w") as f:
