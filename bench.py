@@ -55,24 +55,30 @@ def main() -> None:
         variables))
 
     @jax.jit
-    def pipeline(variables, frames_u8):
+    def pipeline(variables, frames_u8, carry):
         images = eval_preprocess_image_only(frames_u8)
         images = images.astype(jnp.bfloat16)
         depth = model.apply(variables, images)
         depth = resize_bilinear_align_corners(depth.astype(jnp.float32), (480, 640))
-        # scalar checksum: fetching it forces true device completion
-        return depth, jnp.sum(depth)
+        # scalar checksum chained through iterations: a single host fetch of
+        # the final carry forces completion of the whole sequence while
+        # paying the host round-trip only once.
+        return depth, carry + jnp.sum(depth)
 
-    out, checksum = pipeline(variables, frames)
+    carry = jnp.zeros((), jnp.float32)
+    out, carry = pipeline(variables, frames, carry)
     assert out.shape == (BATCH, 480, 640, 1)
     for _ in range(WARMUP):
-        float(pipeline(variables, frames)[1])
+        out, carry = pipeline(variables, frames, carry)
+    float(carry)
 
+    carry = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    sums = [pipeline(variables, frames)[1] for _ in range(ITERS)]
-    values = [float(s) for s in sums]  # forces completion of every step
+    for _ in range(ITERS):
+        out, carry = pipeline(variables, frames, carry)
+    final = float(carry)  # forces completion of the full chain
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(values))
+    assert np.isfinite(final)
 
     n_chips = max(1, len(jax.devices()))
     fps_per_chip = BATCH * ITERS / dt / n_chips
