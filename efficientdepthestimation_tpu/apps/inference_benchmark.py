@@ -27,7 +27,8 @@ from efficientdepthestimation_tpu.data import (
 from efficientdepthestimation_tpu.utils import Timer
 
 
-def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8):
+def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
+                         bf16: bool = False):
     loading_timer = Timer()
     with loading_timer:
         model, variables = load_any_checkpoint(model_path)
@@ -40,11 +41,13 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8):
             frames = jnp.asarray(batch["image"])
             if infer is None:  # one jit per (shape, checkpoint)
                 h, w = frames.shape[1:3]
-                infer = make_infer_fn(model, variables, upsample_to=(h, w))
+                infer = make_infer_fn(model, variables, upsample_to=(h, w),
+                                      dtype=jnp.bfloat16 if bf16 else None)
             images = eval_preprocess_image_only(frames)
             last = infer(images)
         if last is not None:
-            jax.block_until_ready(last)
+            # force true completion (a device fetch, not just dispatch fence)
+            float(jnp.sum(last))
 
     stats = jax.local_devices()[0].memory_stats() or {}
     peak_memory = stats.get("peak_bytes_in_use", 0)
@@ -58,6 +61,8 @@ def main(args: Optional[List[str]] = None):
     parser.add_argument("-n", "--num-trials", default=5, type=int)
     parser.add_argument("-b", "--batch-size", default=8, type=int)
     parser.add_argument("-o", "--output-dir", default=".", type=str)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 weights/activations (MXU-native serving).")
     args = parser.parse_args(args)
 
     dataset = VideoFrameDataset(args.frames_dir)
@@ -70,7 +75,8 @@ def main(args: Optional[List[str]] = None):
         path = os.path.join(args.checkpoint_dir, filename)
         print(path)
         for trial in range(args.num_trials):
-            load_t, infer_t, peak = benchmark_checkpoint(dataset, path, args.batch_size)
+            load_t, infer_t, peak = benchmark_checkpoint(
+                dataset, path, args.batch_size, bf16=args.bf16)
             rows.append({
                 "model": os.path.splitext(filename)[0],
                 "trial": trial,
