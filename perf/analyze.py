@@ -65,7 +65,8 @@ def main():
         for batch in args.batches:
             frames = jnp.asarray(
                 rng.integers(0, 256, (batch, 480, 640, 3), dtype=np.uint8))
-            variables = init_variables(model, (228, 304), batch=batch)
+            # params are batch-independent; init at batch 1 to bound init memory
+            variables = init_variables(model, (228, 304), batch=1)
             for dtype_name in args.dtypes:
                 dtype = dtype_map[dtype_name]
                 cast_vars = jax.device_put(jax.tree_util.tree_map(
