@@ -70,6 +70,9 @@ def parse_args(args: Optional[List[str]] = None):
     parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)
     parser.add_argument("--per-device-batch", default=8, type=int)
     parser.add_argument("--use-pallas-loss", action="store_true")
+    parser.add_argument("--bf16", action="store_true",
+                        help="Mixed precision: bfloat16 activations, f32 "
+                             "params/BN/loss/optimizer.")
     parser.add_argument("--freeze-encoder", action="store_true",
                         help="Train the decoder only (lasinger2019.py:36-38).")
     parser.add_argument("--resume", default=None, type=str,
@@ -116,7 +119,8 @@ def main(args: Optional[List[str]] = None):
     if args.start_epoch and not args.resume:
         state = state.replace(step=jnp.asarray(args.start_epoch * steps_per_epoch))
 
-    train_step = make_train_step(use_pallas_loss=args.use_pallas_loss)
+    train_step = make_train_step(use_pallas_loss=args.use_pallas_loss,
+                                 mixed_precision=args.bf16)
     eval_step = make_eval_step()
 
     num_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))

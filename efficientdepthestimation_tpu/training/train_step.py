@@ -96,12 +96,17 @@ def create_train_state(model, variables, tx: optax.GradientTransformation) -> Tr
 
 
 def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
-                    pallas_interpret: bool = False, donate: bool = True):
+                    pallas_interpret: bool = False, donate: bool = True,
+                    mixed_precision: bool = False):
     """Build the jit'd train step.
 
     ``preprocess=True`` takes raw uint8 batches (image 480×640×3, depth
     480×640) and runs the full augmentation stack on device; otherwise the
     batch must already contain preprocessed ``image``/``depth`` tensors.
+
+    ``mixed_precision=True`` runs activations in bfloat16 (MXU-native) while
+    parameters, BN statistics, the loss and the optimizer stay in float32
+    (the Conv/BatchNorm modules cast per-op and normalize in f32).
     """
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
@@ -110,6 +115,8 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
             images, depths = train_preprocess(rng_aug, batch["image"], batch["depth"])
         else:
             images, depths = batch["image"], batch["depth"]
+        if mixed_precision:
+            images = images.astype(jnp.bfloat16)
 
         def loss_fn(params):
             out, updates = state.apply_fn(

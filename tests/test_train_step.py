@@ -116,3 +116,16 @@ def test_spmd_train_step_on_8_device_mesh(rng):
     # params remain replicated after the update
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_mixed_precision_train_step(rng):
+    model, state = _tiny_state()
+    step = make_train_step(preprocess=False, donate=False, mixed_precision=True)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((2, 32, 48, 3), dtype=np.float32)),
+        "depth": jnp.asarray(rng.uniform(1, 9, (2, 16, 24, 1)).astype(np.float32)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain f32
+    assert jax.tree_util.tree_leaves(state.params)[0].dtype == jnp.float32
