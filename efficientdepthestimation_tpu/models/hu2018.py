@@ -23,10 +23,23 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from efficientdepthestimation_tpu.models.common import BatchNorm, Conv
+from efficientdepthestimation_tpu.models.common import BatchNorm, Conv, kaiming_uniform
+from efficientdepthestimation_tpu.ops.conv import conv2d
+from efficientdepthestimation_tpu.ops.fused import should_fuse, upsample_conv
 from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 
 __all__ = ["UpProjection", "DecoderD", "MFF", "RefineR", "HuDepthModel"]
+
+
+class _Kernel(nn.Module):
+    """Bare conv kernel holder: keeps the param path ('<name>', 'kernel')
+    identical whether the direct or the fused upsample→conv path runs."""
+
+    shape: tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_uniform(), self.shape)
 
 
 class UpProjection(nn.Module):
@@ -34,13 +47,25 @@ class UpProjection(nn.Module):
 
     @nn.compact
     def __call__(self, x, size: tuple[int, int], train: bool = False):
-        x = resize_bilinear_align_corners(x, size)
-        b1 = Conv(self.features, (5, 5), (1, 1), 2, use_bias=False, name="conv1")(x)
+        cin = x.shape[-1]
+        k1 = _Kernel((5, 5, cin, self.features), name="conv1")()
+        k2 = _Kernel((5, 5, cin, self.features), name="conv2")()
+
+        # Exact rewrite of conv5×5∘upsample when it shrinks the intermediate
+        # (ops/fused.py) — the MFF branches upsample many-channel maps by
+        # large factors; the decoder's 2× steps stay on the direct path.
+        if should_fuse(x.shape[1:3], size, cin, self.features):
+            b1 = upsample_conv(x, k1, size)
+            b2 = upsample_conv(x, k2, size)
+        else:
+            up = resize_bilinear_align_corners(x, size)
+            b1 = conv2d(up, k1.astype(up.dtype), stride=1, padding=2)
+            b2 = conv2d(up, k2.astype(up.dtype), stride=1, padding=2)
+
         b1 = BatchNorm(name="bn1")(b1, use_running_average=not train)
         b1 = nn.relu(b1)
         b1 = Conv(self.features, (3, 3), (1, 1), 1, use_bias=False, name="conv1_2")(b1)
         b1 = BatchNorm(name="bn1_2")(b1, use_running_average=not train)
-        b2 = Conv(self.features, (5, 5), (1, 1), 2, use_bias=False, name="conv2")(x)
         b2 = BatchNorm(name="bn2")(b2, use_running_average=not train)
         return nn.relu(b1 + b2)
 
