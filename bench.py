@@ -25,8 +25,9 @@ import json
 import time
 
 GPU_BASELINE_FPS = 30.0
-# Batch sweep on v5e (honest, fetch-fenced): 32 → 906 fps, 128 → 1465 fps,
-# 256 → 1084 fps, 512 → OOM. 128 is the throughput sweet spot.
+# Batch sweep on v5e (honest, fetch-fenced, pre-fusion): 32 → 906 fps,
+# 128 → 1465 fps, 256 → 1084 fps, 512 → OOM; with the conv∘upsample fusion
+# batch 128 reaches ~2228 fps. 128 is the throughput sweet spot.
 BATCH = 128
 WARMUP = 3
 ITERS = 10
