@@ -40,9 +40,12 @@ __all__ = ["fused_depth_loss"]
 
 
 def _pad2(x):
+    # concat-based zero padding (update-slice/scatter don't lower on TPU TC)
     h, w = x.shape
-    out = jnp.zeros((h + 2, w + 2), x.dtype)
-    return out.at[1:-1, 1:-1].set(x)
+    col = jnp.zeros((h, 1), x.dtype)
+    x = jnp.concatenate([col, x, col], axis=1)
+    row = jnp.zeros((1, w + 2), x.dtype)
+    return jnp.concatenate([row, x, row], axis=0)
 
 
 def _sobel2d(x):
@@ -79,10 +82,15 @@ def _loss_kernel(pred_ref, target_ref, sums_ref):
                     * (jnp.square(gx_d) + jnp.square(gy_d) + 1.0))
     s_normal = jnp.sum(jnp.abs(1.0 - dot / norm))
 
-    sums_ref[0, 0] = s_depth
-    sums_ref[0, 1] = s_dx
-    sums_ref[0, 2] = s_dy
-    sums_ref[0, 3] = s_normal
+    # per-image partial sums land in a TPU-tile-shaped (8, 128) block
+    # (Mosaic requires the trailing block dims be (8k, 128k)); only the
+    # first 4 lanes of row 0 carry data.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    block = jnp.zeros((8, 128), jnp.float32)
+    for lane, value in enumerate((s_depth, s_dx, s_dy, s_normal)):
+        block = jnp.where((rows == 0) & (cols == lane), value, block)
+    sums_ref[0] = block
 
 
 def _run_kernel(pred: jax.Array, target: jax.Array, interpret: bool) -> jax.Array:
@@ -94,11 +102,12 @@ def _run_kernel(pred: jax.Array, target: jax.Array, interpret: bool) -> jax.Arra
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=_VMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=_VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4), lambda i: (i, 0), memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
         interpret=interpret,
     )(pred, target)
-    per_term = jnp.sum(sums, axis=0) / (n * h * w)
+    per_term = jnp.sum(sums[:, 0, :4], axis=0) / (n * h * w)
     # total = depth + normal + dx + dy (train.py:236)
     return per_term[0] + per_term[3] + per_term[1] + per_term[2]
 
