@@ -83,13 +83,17 @@ def main() -> None:
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
 
-    n_chips = max(1, len(jax.devices()))
-    fps_per_chip = BATCH * ITERS / dt / n_chips
+    # The measured program runs on exactly one device (no sharding), so the
+    # per-chip figure is the raw throughput regardless of how many devices
+    # happen to be visible. Weights are random bf16 — a pure throughput
+    # measurement, not an accuracy run (noted in the JSON).
+    fps_per_chip = BATCH * ITERS / dt
     print(json.dumps({
         "metric": "enb0_hu_e2e_640x480_inference",
         "value": round(fps_per_chip, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / GPU_BASELINE_FPS, 3),
+        "notes": "single-device program; random bf16 weights (throughput only)",
     }))
 
 

@@ -15,7 +15,7 @@ __all__ = ["load_any_checkpoint", "make_infer_fn", "init_variables",
 def infer_arch_from_path(model_path: str) -> tuple[str, str]:
     """Substring-sniffing fallback (demo.py:25-31): encoder from the path,
     hu2018 decoder assumed unless 'lasinger'/'lr' appears."""
-    lower = os.path.basename(model_path).lower()
+    lower = os.path.splitext(os.path.basename(model_path))[0].lower()
     decoder = "lasinger2019" if ("lasinger" in lower or lower.endswith("-lr")) else "hu2018"
     for token, enc in (
         ("efficientnet-b4", "efficientnet-b4"), ("efficientnet-b0", "efficientnet-b0"),

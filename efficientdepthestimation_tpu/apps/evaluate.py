@@ -38,11 +38,12 @@ def main(args: Optional[List[str]] = None):
     model, variables = load_any_checkpoint(args.model)
 
     @jax.jit
-    def step(images, depths):
+    def step(images, depths, num_valid):
         out = model.apply(variables, images)
         out = resize_bilinear_align_corners(out, depths.shape[1:3])
-        return (depth_metrics_batch(out, depths),
-                edge_metrics_batch(out, depths, args.threshold))
+        return (depth_metrics_batch(out, depths, num_valid=num_valid),
+                edge_metrics_batch(out, depths, args.threshold,
+                                   num_valid=num_valid))
 
     dataset = DepthPairDataset(args.test_csv, is_test=True)
     tracker = MetricsTracker()
@@ -53,15 +54,15 @@ def main(args: Optional[List[str]] = None):
                                 pad_last=True):
         images, depths = eval_preprocess(
             jnp.asarray(batch["image"]), jnp.asarray(batch["depth"]))
-        depth_sums, edge = jax.device_get(step(images, depths))
+        depth_sums, edge = jax.device_get(
+            step(images, depths, jnp.asarray(batch["num_valid"], jnp.int32)))
         tracker.update_from_sums(depth_sums)
         for key in edge_sums:
             edge_sums[key] += float(edge[key])
-        total += batch["image"].shape[0]
+        total += int(batch["num_valid"])
         print(f"\rProgress: [{total:02d}/{len(dataset):02d}] {tracker}", end="")
     print()
 
-    n_batches = max(1, total // args.batch_size)
     print("AV", edge_sums["edge_accuracy"] / total)
     print("PV", edge_sums["edge_precision"] / total)
     print("RV", edge_sums["edge_recall"] / total)

@@ -113,6 +113,14 @@ def test(labels_dataset, outputs_dataset, cache_dir: str, batch_size: int = 4):
         with open(metrics_path) as f:
             return json.load(f)
 
+    # length/shape agreement up front: a silent zip-truncation or an
+    # unrelated reshape error would misreport the benchmark
+    # (reference asserts the per-batch shapes, benchmark.py:143-148)
+    if len(labels_dataset) != len(outputs_dataset):
+        raise ValueError(
+            f"label/output dataset length mismatch: {len(labels_dataset)} vs "
+            f"{len(outputs_dataset)}")
+
     metrics = MetricsTracker()
     processed = 0
     for lab_batch, out_batch in zip(_batched(labels_dataset, batch_size),
@@ -120,6 +128,9 @@ def test(labels_dataset, outputs_dataset, cache_dir: str, batch_size: int = 4):
         labels = np.stack([np.squeeze(np.asarray(s["depth"] if isinstance(s, dict)
                                                  else s)) for s in lab_batch])
         outputs = np.stack([np.squeeze(np.asarray(o)) for o in out_batch])
+        if outputs.size != labels.size:
+            raise ValueError(
+                f"label/output shape mismatch: {outputs.shape} vs {labels.shape}")
         outputs = outputs.reshape(labels.shape)
         metrics.update(jnp.asarray(outputs), jnp.asarray(labels))
         processed += len(lab_batch)
@@ -142,6 +153,11 @@ def test_visual(labels_dataset, outputs_dataset, cache_dir: str,
         print("Found cached results, skipping...")
         with open(metrics_path) as f:
             return json.load(f)
+
+    if len(labels_dataset) != len(outputs_dataset):
+        raise ValueError(
+            f"label/output dataset length mismatch: {len(labels_dataset)} vs "
+            f"{len(outputs_dataset)}")
 
     tracker = VisualMetricsTracker(lpips_weights=lpips_weights)
     processed = 0
@@ -321,6 +337,45 @@ def run_benchmark(benchmark_results, dataset_name, model_name, output_path,
     save_benchmark_results(output_path, benchmark_results, relative_to=baseline_model)
 
 
+def preset_model_loaders(args, data):
+    """The reference's experiment tables, verbatim (benchmark.py:513-557).
+
+    chapter3: the six released checkpoints (ReSIDE enb0/enb4/rn50 + MiDaS
+    enb0/enb4/rn50). chapter4: reside_enb0, reside_senet (the baseline),
+    reside_enb0-random_weights (auto-generated random-init model — the
+    reference's :551-553 entry, no checkpoint file needed), flat.
+    """
+    from efficientdepthestimation_tpu.benchmark.depth_model import (
+        FlatDepthEstimator,
+        MidasModel,
+        ReSIDEModel,
+    )
+
+    if args.preset is None:
+        return []
+    if args.preset == "chapter3":
+        return [
+            ("reside_enb0", (lambda: ReSIDEModel(
+                args.reside_enb0_path, encoder="efficientnet-b0")), data),
+            ("reside_enb4", (lambda: ReSIDEModel(
+                args.reside_enb4_path, encoder="efficientnet-b4")), data),
+            ("reside_resnet50", (lambda: ReSIDEModel(
+                args.reside_resnet50_path, encoder="resnet50")), data),
+            ("midas_enb0", (lambda: MidasModel(args.midas_enb0_path)), data),
+            ("midas_enb4", (lambda: MidasModel(args.midas_enb4_path)), data),
+            ("midas_resnet50", (lambda: MidasModel(args.midas_resnet50_path)), data),
+        ]
+    return [
+        ("reside_enb0", (lambda: ReSIDEModel(
+            args.reside_enb0_path, encoder="efficientnet-b0")), data),
+        ("reside_senet", (lambda: ReSIDEModel(
+            args.reside_senet_path, encoder="senet154")), data),
+        ("reside_enb0-random_weights", (lambda: ReSIDEModel(
+            encoder="efficientnet-b0", pretrained=False)), data),
+        ("flat", FlatDepthEstimator, data),
+    ]
+
+
 def main(args=None):
     """Full user-centred benchmark (benchmark.py:500-679)."""
     import argparse
@@ -348,6 +403,18 @@ def main(args=None):
     parser.add_argument("--models", nargs="*", default=None,
                         help="name=checkpoint pairs, e.g. reside_enb0=ENB0-HU.pth")
     parser.add_argument("--include-flat", action="store_true", default=True)
+    # Paper-shaped experiment presets (benchmark.py:513-557): chapter3 = the
+    # six released checkpoints; chapter4 = enb0 + senet baseline +
+    # auto-random-weights + flat. Checkpoint paths mirror the reference's
+    # hard-coded argparse.Namespace block (benchmark.py:1509-1531).
+    parser.add_argument("--preset", choices=("chapter3", "chapter4"), default=None)
+    parser.add_argument("--reside-enb0-path", default="checkpoints/ENB0-HU.pth")
+    parser.add_argument("--reside-enb4-path", default="checkpoints/ENB4-HU.pth")
+    parser.add_argument("--reside-resnet50-path", default="checkpoints/RN50-HU.pth")
+    parser.add_argument("--reside-senet-path", default="checkpoints/SN154-HU.pth")
+    parser.add_argument("--midas-enb0-path", default="checkpoints/ENB0-LR.pth")
+    parser.add_argument("--midas-enb4-path", default="checkpoints/ENB4-LR.pth")
+    parser.add_argument("--midas-resnet50-path", default="checkpoints/RN50-LR.pth")
     args = parser.parse_args(args)
 
     benchmark_results = defaultdict(lambda: defaultdict(dict))
@@ -382,7 +449,7 @@ def main(args=None):
                   labels, noisy_maps, gt_renders, noisy_renders,
                   args.baseline_model, args.batch_size)
 
-    model_loaders = []
+    model_loaders = preset_model_loaders(args, labels_x32)
     for spec in args.models or []:
         name, _, path = spec.partition("=")
         if name.startswith("midas") or "-LR" in path or "lasinger" in path:
@@ -395,7 +462,9 @@ def main(args=None):
             enc, _ = parse_checkpoint_name(path)
             model_loaders.append(
                 (name, (lambda p=path, e=enc: ReSIDEModel(p, encoder=e)), labels_x32))
-    if args.include_flat:
+    if args.include_flat and args.preset is None:
+        # presets define their own tables (chapter4 already contains flat;
+        # chapter3's has none — benchmark.py:513-557)
         model_loaders.append(("flat", FlatDepthEstimator, labels_x32))
 
     for model_name, model_loader, data in model_loaders:

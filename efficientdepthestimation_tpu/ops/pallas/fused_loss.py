@@ -93,7 +93,8 @@ def _loss_kernel(pred_ref, target_ref, sums_ref):
     sums_ref[0] = block
 
 
-def _run_kernel(pred: jax.Array, target: jax.Array, interpret: bool) -> jax.Array:
+def _run_kernel(pred: jax.Array, target: jax.Array, mask: jax.Array,
+                interpret: bool) -> jax.Array:
     n, h, w = pred.shape
     sums = pl.pallas_call(
         _loss_kernel,
@@ -107,30 +108,47 @@ def _run_kernel(pred: jax.Array, target: jax.Array, interpret: bool) -> jax.Arra
         out_shape=jax.ShapeDtypeStruct((n, 8, 128), jnp.float32),
         interpret=interpret,
     )(pred, target)
-    per_term = jnp.sum(sums[:, 0, :4], axis=0) / (n * h * w)
+    # per-sample validity weighting (pad_last duplicates carry weight 0)
+    per_term = jnp.sum(sums[:, 0, :4] * mask[:, None], axis=0)
+    per_term = per_term / (jnp.sum(mask) * h * w)
     # total = depth + normal + dx + dy (train.py:236)
     return per_term[0] + per_term[3] + per_term[1] + per_term[2]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def fused_depth_loss(pred: jax.Array, target: jax.Array,
-                     interpret: bool = False) -> jax.Array:
-    """Fused loss over NHWC (N,H,W,1) or (N,H,W) pred/target."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_depth_loss(pred: jax.Array, target: jax.Array, mask: jax.Array,
+                      interpret: bool) -> jax.Array:
     return _run_kernel(pred.reshape(pred.shape[0], *pred.shape[1:3]),
                        target.reshape(target.shape[0], *target.shape[1:3]),
-                       interpret)
+                       mask, interpret)
 
 
-def _fwd(pred, target, interpret):
-    return fused_depth_loss(pred, target, interpret), (pred, target)
+def fused_depth_loss(pred: jax.Array, target: jax.Array,
+                     interpret: bool = False, num_valid=None) -> jax.Array:
+    """Fused loss over NHWC (N,H,W,1) or (N,H,W) pred/target.
+
+    ``num_valid`` (optional traced scalar): only the first ``num_valid``
+    samples contribute to the loss and its gradient — the masked mean is
+    Σ valid / (num_valid·H·W).
+    """
+    n = pred.shape[0]
+    if num_valid is None:
+        mask = jnp.ones((n,), jnp.float32)
+    else:
+        mask = (jnp.arange(n) < num_valid).astype(jnp.float32)
+    return _fused_depth_loss(pred, target, mask, interpret)
+
+
+def _fwd(pred, target, mask, interpret):
+    return _fused_depth_loss(pred, target, mask, interpret), (pred, target, mask)
 
 
 def _bwd(interpret, residuals, g):
-    pred, target = residuals
+    pred, target, mask = residuals
     shape = pred.shape
     p = pred.reshape(shape[0], shape[1], shape[2], 1).astype(jnp.float32)
     t = target.reshape(shape[0], shape[1], shape[2], 1).astype(jnp.float32)
-    n_pix = p.shape[0] * p.shape[1] * p.shape[2]
+    n_pix = jnp.sum(mask) * (p.shape[1] * p.shape[2])
 
     gx_o, gy_o = sobel_gradients(p)
     gx_d, gy_d = sobel_gradients(t)
@@ -165,8 +183,10 @@ def _bwd(interpret, residuals, g):
     grad_from_gx = conv2d(ddx + dn_dgx, kx_flip, stride=1, padding=1)
     grad_from_gy = conv2d(ddy + dn_dgy, ky_flip, stride=1, padding=1)
 
-    dp = (d_depth + grad_from_gx + grad_from_gy) * (g / n_pix)
-    return dp.reshape(shape).astype(pred.dtype), jnp.zeros_like(target)
+    per_sample = mask.reshape((shape[0], 1, 1, 1))
+    dp = (d_depth + grad_from_gx + grad_from_gy) * per_sample * (g / n_pix)
+    return (dp.reshape(shape).astype(pred.dtype), jnp.zeros_like(target),
+            jnp.zeros_like(mask))
 
 
-fused_depth_loss.defvjp(_fwd, _bwd)
+_fused_depth_loss.defvjp(_fwd, _bwd)

@@ -7,3 +7,9 @@ from efficientdepthestimation_tpu.parallel.mesh import (
     shard_batch,
     scale_batch_size,
 )
+from efficientdepthestimation_tpu.parallel.multihost import (
+    distributed_batch_iterator,
+    make_global_batch,
+    maybe_initialize_distributed,
+    process_local_rows,
+)

@@ -35,34 +35,53 @@ __all__ = [
 ]
 
 
-def depth_metrics_batch(outputs: jax.Array, labels: jax.Array) -> dict[str, jax.Array]:
-    """Per-batch metric sums. outputs/labels: (N, H, W, 1) or (N, H, W)."""
+def depth_metrics_batch(outputs: jax.Array, labels: jax.Array,
+                        num_valid=None) -> dict[str, jax.Array]:
+    """Per-batch metric sums. outputs/labels: (N, H, W, 1) or (N, H, W).
+
+    ``num_valid`` (optional scalar, traced) marks only the first ``num_valid``
+    samples of the batch as real; trailing samples (the ``pad_last``
+    duplicates from ``batch_iterator``) are excluded from every sum and from
+    the reported ``batch_size``, so batched evaluation of a padded tail batch
+    equals evaluation at the true size — the reference's bs=1 exact eval
+    (ReSIDE/test.py:26) without giving up static shapes.
+    """
     outputs = outputs.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
+    n = labels.shape[0]
+    if num_valid is None:
+        sample_mask = jnp.ones((n,), bool)
+    else:
+        sample_mask = jnp.arange(n) < num_valid
+    pix_mask = sample_mask.reshape((n,) + (1,) * (labels.ndim - 1))
+
     nan_mask = jnp.isnan(labels)
     invalid_mask = ~(labels > 0)
-    num_valid = jnp.sum(~nan_mask).astype(jnp.float32)
-    batch_size = jnp.asarray(labels.shape[0], jnp.float32)
+    num_valid_px = jnp.sum((~nan_mask) & pix_mask).astype(jnp.float32)
+    batch_size = jnp.sum(sample_mask).astype(jnp.float32)
 
     residuals = outputs - labels
-    abs_res = jnp.abs(residuals)
-    # NaN labels poison the plain sums exactly as in torch (kept faithfully;
-    # NYU labels are never NaN in practice).
-    mae = batch_size * jnp.sum(abs_res) / num_valid
-    mse = batch_size * jnp.sum(jnp.square(residuals)) / num_valid
+    # NaN labels inside *valid* samples poison the plain sums exactly as in
+    # torch (kept faithfully; NYU labels are never NaN in practice); padded
+    # samples are zeroed via where, not multiply, so their values never leak.
+    abs_res = jnp.where(pix_mask, jnp.abs(residuals), 0.0)
+    mae = batch_size * jnp.sum(abs_res) / num_valid_px
+    mse = batch_size * jnp.sum(
+        jnp.where(pix_mask, jnp.square(residuals), 0.0)) / num_valid_px
 
-    abs_rel = abs_res / labels
-    abs_rel = jnp.where(nan_mask | invalid_mask, 0.0, abs_rel)
-    abs_rel = batch_size * jnp.sum(abs_rel) / num_valid
+    abs_rel = jnp.abs(residuals) / labels
+    abs_rel = jnp.where(nan_mask | invalid_mask | ~pix_mask, 0.0, abs_rel)
+    abs_rel = batch_size * jnp.sum(abs_rel) / num_valid_px
 
     log10 = jnp.abs(jnp.log10(outputs) - jnp.log10(labels))
-    log10 = jnp.where(nan_mask | invalid_mask, 0.0, log10)
-    log10 = jnp.sum(log10) / num_valid  # no batch_size factor (util.py:68)
+    log10 = jnp.where(nan_mask | invalid_mask | ~pix_mask, 0.0, log10)
+    log10 = jnp.sum(log10) / num_valid_px  # no batch_size factor (util.py:68)
 
     max_ratio = jnp.maximum(outputs / labels, labels / outputs)
 
     def thr(t):
-        return batch_size * jnp.sum((max_ratio <= t).astype(jnp.float32)) / num_valid
+        hits = (max_ratio <= t) & pix_mask
+        return batch_size * jnp.sum(hits.astype(jnp.float32)) / num_valid_px
 
     return {
         "mae": mae,
@@ -77,22 +96,36 @@ def depth_metrics_batch(outputs: jax.Array, labels: jax.Array) -> dict[str, jax.
 
 
 def edge_metrics_batch(outputs: jax.Array, labels: jax.Array,
-                       threshold: float = 0.25) -> dict[str, jax.Array]:
-    """Sobel-magnitude edge accuracy/precision/recall/F1 (test.py:56-102)."""
+                       threshold: float = 0.25,
+                       num_valid=None) -> dict[str, jax.Array]:
+    """Sobel-magnitude edge accuracy/precision/recall/F1 (test.py:56-102).
+
+    Computed *per sample* then summed over the (first ``num_valid``) samples —
+    exactly the reference's bs=1 accumulation loop (test.py:61-76); divide the
+    sums by the total sample count on the host to recover its averages.
+    """
     gx_l, gy_l = sobel_gradients(labels)
     gx_o, gy_o = sobel_gradients(outputs)
     edge_l = jnp.sqrt(jnp.square(gx_l) + jnp.square(gy_l))
     edge_o = jnp.sqrt(jnp.square(gx_o) + jnp.square(gy_o))
     e1 = edge_l > threshold
     e2 = edge_o > threshold
+    n = labels.shape[0]
+    axes = tuple(range(1, labels.ndim))
     n_pixels = labels.shape[1] * labels.shape[2]
-    accuracy = jnp.sum((e1 == e2).astype(jnp.float32)) / n_pixels
-    both = jnp.sum((e1 & e2).astype(jnp.float32))
-    precision = both / jnp.sum(e2.astype(jnp.float32))
-    recall = both / jnp.sum(e1.astype(jnp.float32))
+    accuracy = jnp.sum((e1 == e2).astype(jnp.float32), axis=axes) / n_pixels
+    both = jnp.sum((e1 & e2).astype(jnp.float32), axis=axes)
+    precision = both / jnp.sum(e2.astype(jnp.float32), axis=axes)
+    recall = both / jnp.sum(e1.astype(jnp.float32), axis=axes)
     f1 = 2 * precision * recall / (precision + recall)
-    return {"edge_accuracy": accuracy, "edge_precision": precision,
-            "edge_recall": recall, "edge_f1": f1}
+    if num_valid is None:
+        mask = jnp.ones((n,), jnp.float32)
+    else:
+        mask = (jnp.arange(n) < num_valid).astype(jnp.float32)
+    return {"edge_accuracy": jnp.sum(accuracy * mask),
+            "edge_precision": jnp.sum(precision * mask),
+            "edge_recall": jnp.sum(recall * mask),
+            "edge_f1": jnp.sum(f1 * mask)}
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,7 @@ from efficientdepthestimation_tpu.training.loss import depth_loss
 from efficientdepthestimation_tpu.training.metrics import depth_metrics_batch
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "step_lr", "adam_with_l2"]
+           "make_eval_step", "make_grad_snapshot", "step_lr", "adam_with_l2"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -111,6 +111,9 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        # Optional validity count: pad_last duplicates in the final batch of
+        # an epoch get zero loss/metric weight (VERDICT round-1, Weak #1).
+        num_valid = batch.get("num_valid")
         if preprocess:
             images, depths = train_preprocess(rng_aug, batch["image"], batch["depth"])
         else:
@@ -126,34 +129,73 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
                 rngs={"dropout": rng_drop},
             )
             if use_pallas_loss:
-                loss = fused_depth_loss(out, depths, pallas_interpret)
+                loss = fused_depth_loss(out, depths, pallas_interpret,
+                                        num_valid=num_valid)
             else:
-                loss = depth_loss(out, depths)
+                loss = depth_loss(out, depths, num_valid=num_valid)
             return loss, (out, updates["batch_stats"])
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads, new_stats)
-        metrics = depth_metrics_batch(out, depths)
+        metrics = depth_metrics_batch(out, depths, num_valid=num_valid)
         metrics["loss"] = loss
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_grad_snapshot(*, use_pallas_loss: bool = False, preprocess: bool = True,
+                       pallas_interpret: bool = False,
+                       mixed_precision: bool = False):
+    """jit'd gradient probe for observability: same loss as the train step but
+    returns the raw gradient pytree without applying it — feeds
+    ``RunLogger.log_histograms`` once per epoch (wandb.watch parity,
+    ReSIDE/train.py:134).
+    """
+
+    def grad_snapshot(state: TrainState, batch: dict, rng: jax.Array):
+        rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        num_valid = batch.get("num_valid")
+        if preprocess:
+            images, depths = train_preprocess(rng_aug, batch["image"], batch["depth"])
+        else:
+            images, depths = batch["image"], batch["depth"]
+        if mixed_precision:
+            images = images.astype(jnp.bfloat16)
+
+        def loss_fn(params):
+            out = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )[0]
+            if use_pallas_loss:
+                return fused_depth_loss(out, depths, pallas_interpret,
+                                        num_valid=num_valid)
+            return depth_loss(out, depths, num_valid=num_valid)
+
+        return jax.grad(loss_fn)(state.params)
+
+    return jax.jit(grad_snapshot)
+
+
 def make_eval_step(*, upsample_to_label: bool = True):
     """jit'd eval step: forward, align-corners upsample to label size,
-    metric sums (train.py:259-292)."""
+    metric sums (train.py:259-292). ``num_valid`` masks pad_last duplicates
+    out of the metric sums so batched eval equals per-sample eval."""
 
     @functools.partial(jax.jit, static_argnames=())
-    def eval_step(state: TrainState, images: jax.Array, depths: jax.Array):
+    def eval_step(state: TrainState, images: jax.Array, depths: jax.Array,
+                  num_valid=None):
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             images, False,
         )
         if upsample_to_label:
             out = resize_bilinear_align_corners(out, depths.shape[1:3])
-        return depth_metrics_batch(out, depths), out
+        return depth_metrics_batch(out, depths, num_valid=num_valid), out
 
     return eval_step

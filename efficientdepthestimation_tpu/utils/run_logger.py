@@ -60,6 +60,41 @@ class RunLogger:
         self._log_file.write(json.dumps(record, default=str) + "\n")
         self._log_file.flush()
 
+    def log_histograms(self, tree, step: int | None = None,
+                       prefix: str = "parameters", bins: int = 64):
+        """Per-leaf histograms of a param/grad pytree — the TPU equivalent of
+        ``wandb.watch(model)``'s gradient/parameter histograms
+        (ReSIDE/train.py:134). wandb runs get true ``wandb.Histogram``s;
+        offline runs get compact (counts, bin-edges) records in
+        ``histograms.jsonl``.
+        """
+        import jax
+
+        leaves = jax.tree_util.tree_leaves_with_path(tree)
+        histograms = {}
+        for path, leaf in leaves:
+            name = prefix + "/" + "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            arr = np.asarray(leaf).ravel()
+            if arr.size == 0 or not np.issubdtype(arr.dtype, np.number):
+                continue
+            arr = arr.astype(np.float64)
+            arr = arr[np.isfinite(arr)]
+            if arr.size == 0:
+                continue
+            histograms[name] = np.histogram(arr, bins=bins)
+        if self._wandb is not None:
+            self._wandb.log(
+                {name: self._wandb.Histogram(np_histogram=h)
+                 for name, h in histograms.items()}, step=step)
+            return
+        record = {"_time": time.time(), "_step": step}
+        for name, (counts, edges) in histograms.items():
+            record[name] = {"counts": counts.tolist(),
+                            "min": float(edges[0]), "max": float(edges[-1])}
+        with open(os.path.join(self.dir, "histograms.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
     def log_images(self, name: str, images, step: int | None = None):
         """Save example images (scaled [0,1]) as PNGs under the run dir."""
         from PIL import Image

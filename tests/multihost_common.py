@@ -1,0 +1,72 @@
+"""Shared harness for the multi-host tests: a deterministic synthetic dataset
+and a fixed 3-step SPMD training run over a 4-device data mesh. Used both by
+the in-process single-process reference and by the 2-process subprocess
+runners — identical code path, so metric equality certifies that the train
+app is unchanged between one process and a simulated pod."""
+
+import jax
+import numpy as np
+
+
+class SynthDataset:
+    """10 deterministic (image, depth) pairs; no file I/O."""
+
+    def __init__(self, n=10, image_hw=(32, 48)):
+        self.n = n
+        self.image_hw = image_hw
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        h, w = self.image_hw
+        rng = np.random.default_rng(1000 + idx)
+        image = rng.standard_normal((h, w, 3)).astype(np.float32)
+        depth = rng.uniform(1, 9, (h // 2, w // 2, 1)).astype(np.float32)
+        return image, depth
+
+
+def run_steps(global_batch_size=4, n_devices=4):
+    """Build a tiny model, run one epoch (3 batches, last padded 2/4) over the
+    data mesh via distributed_batch_iterator, return final metrics."""
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.models import build_model
+    from efficientdepthestimation_tpu.parallel import (
+        create_mesh,
+        distributed_batch_iterator,
+        replicated_sharding,
+    )
+    from efficientdepthestimation_tpu.training.train_step import (
+        adam_with_l2,
+        create_train_state,
+        make_train_step,
+        step_lr,
+    )
+
+    mesh = create_mesh(n_devices)
+    model = build_model("resnet18", "hu2018")
+    x = jnp.zeros((2, 32, 48, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
+    tx = adam_with_l2(step_lr(1e-3, steps_per_epoch=10), 1e-4)
+    state = create_train_state(model, variables, tx)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = make_train_step(preprocess=False, donate=False)
+
+    dataset = SynthDataset(n=10)
+    losses = []
+    for batch in distributed_batch_iterator(dataset, global_batch_size, mesh):
+        state, metrics = step(
+            state, {"image": batch["image"], "depth": batch["depth"],
+                    "num_valid": jnp.asarray(batch["num_valid"], jnp.int32)},
+            jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    return {
+        "losses": losses,
+        "final_abs_rel": float(metrics["abs_rel"]),
+        "final_step": int(state.step),
+        "param_checksum": float(sum(
+            np.abs(np.asarray(jax.device_get(p))).sum()
+            for p in jax.tree_util.tree_leaves(state.params))),
+    }

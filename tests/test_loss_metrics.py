@@ -122,4 +122,5 @@ def test_edge_metrics_shapes(rng):
     l = rng.uniform(0.0, 5.0, (2, 16, 16, 1)).astype(np.float32)
     m = jax.device_get(edge_metrics_batch(jnp.asarray(o), jnp.asarray(l)))
     assert set(m) == {"edge_accuracy", "edge_precision", "edge_recall", "edge_f1"}
-    assert 0 <= float(m["edge_precision"]) <= 1
+    # per-sample sums over the batch (divide by sample count for averages)
+    assert 0 <= float(m["edge_precision"]) / 2 <= 1

@@ -20,6 +20,7 @@ from torch_mirror import (
     TorchEfficientNetFeatures,
     TorchHuModel,
     TorchResNetFeatures,
+    efficientnet_export_keys,
     randomize_bn_stats,
 )
 
@@ -61,27 +62,7 @@ def test_enb0_hu_checkpoint_parity(rng):
     )
     # E_efficientnet wraps blocks in Sequentials: translate mirror keys
     # (E._conv_stem / E._blocks.i) into the published blocks.* convention.
-    splits = TorchEfficientNetFeatures.SPLITS
-    sd = {}
-    for key, value in tm.state_dict().items():
-        if key.startswith("E."):
-            rest = key[2:]
-            if rest.startswith("_conv_stem."):
-                key = "E.blocks.0.0." + rest[len("_conv_stem."):]
-            elif rest.startswith("_bn0."):
-                key = "E.blocks.0.1." + rest[len("_bn0."):]
-            elif rest.startswith("_blocks."):
-                parts = rest.split(".")
-                j = int(parts[1])
-                tail = ".".join(parts[2:])
-                if j < splits[1]:
-                    key = f"E.blocks.0.{2 + j}.{tail}"
-                else:
-                    for g in range(1, 4):
-                        if splits[g] <= j < splits[g + 1]:
-                            key = f"E.blocks.{g}.{j - splits[g]}.{tail}"
-                            break
-        sd[key] = value
+    sd = efficientnet_export_keys(tm.state_dict(), tm.E.splits)
     buf = _save_pth(sd)
 
     jm = build_model("efficientnet-b0", "hu2018")

@@ -116,8 +116,27 @@ class TorchMBConv(nn.Module):
         return x
 
 
+def _round_filters(filters, width_mult, divisor=8):
+    """efficientnet_pytorch 0.6.3 round_filters (utils.py of that package)."""
+    filters *= width_mult
+    new_filters = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_filters < 0.9 * filters:
+        new_filters += divisor
+    return int(new_filters)
+
+
+def _round_repeats(repeats, depth_mult):
+    return int(math.ceil(depth_mult * repeats))
+
+
 class TorchEfficientNetFeatures(nn.Module):
-    """B0-shaped feature extractor with the reference's 4-way split."""
+    """EfficientNet feature extractor with the reference's 4-way split.
+
+    Parameterized over (width, depth, resolution, splits) so both the
+    released B0 (16 blocks, splits 3/5/8) and B4 (width 1.4 / depth 1.8 /
+    380 px, 32 blocks, splits 6/10/22 — ReSIDE/models/modules.py:168-183)
+    configurations are mirrored at full size.
+    """
 
     STAGES = (
         (1, 3, 1, 1, 32, 16, 0.25),
@@ -128,22 +147,30 @@ class TorchEfficientNetFeatures(nn.Module):
         (4, 5, 2, 6, 112, 192, 0.25),
         (1, 3, 1, 6, 192, 320, 0.25),
     )
-    SPLITS = (0, 3, 5, 8, 16)
-    RES = 224
+    VARIANTS = {  # width, depth, canonical resolution, 4-way split starts
+        "efficientnet-b0": (1.0, 1.0, 224, (0, 3, 5, 8)),
+        "efficientnet-b4": (1.4, 1.8, 380, (0, 6, 10, 22)),
+    }
 
-    def __init__(self):
+    def __init__(self, variant="efficientnet-b0"):
         super().__init__()
-        self.stem_pad = _same_pad(self.RES, 3, 2)
-        self._conv_stem = nn.Conv2d(3, 32, 3, 2, 0, bias=False)
-        self._bn0 = nn.BatchNorm2d(32, eps=1e-3, momentum=0.01)
+        width, depth, res, splits = self.VARIANTS[variant]
+        stem_out = _round_filters(32, width)
+        self.stem_pad = _same_pad(res, 3, 2)
+        self._conv_stem = nn.Conv2d(3, stem_out, 3, 2, 0, bias=False)
+        self._bn0 = nn.BatchNorm2d(stem_out, eps=1e-3, momentum=0.01)
         blocks = []
         for r, k, s, e, cin, cout, se in self.STAGES:
-            for i in range(r):
+            cin_r, cout_r = _round_filters(cin, width), _round_filters(cout, width)
+            for i in range(_round_repeats(r, depth)):
                 blocks.append(
-                    TorchMBConv(cin if i == 0 else cout, cout, k,
-                                s if i == 0 else 1, e, se, self.RES)
+                    TorchMBConv(cin_r if i == 0 else cout_r, cout_r, k,
+                                s if i == 0 else 1, e, se, res)
                 )
         self._blocks = nn.ModuleList(blocks)
+        self.splits = tuple(splits) + (len(blocks),)
+        self.block_out_channels = [
+            self._blocks[b - 1].cout for b in self.splits[1:]]
 
     def forward(self, x):
         swish = lambda t: t * torch.sigmoid(t)
@@ -153,9 +180,37 @@ class TorchEfficientNetFeatures(nn.Module):
         taps = []
         for i, b in enumerate(self._blocks):
             x = b(x)
-            if i + 1 in self.SPLITS[1:]:
+            if i + 1 in self.splits[1:]:
                 taps.append(x)
         return taps
+
+
+def efficientnet_export_keys(state_dict, splits, prefix="E."):
+    """Translate mirror keys (E._conv_stem / E._blocks.i) into the published
+    E_efficientnet Sequential convention (E.blocks.g.j — modules.py:124-200):
+    group 0 = [stem conv, stem bn, blocks[:split1]], groups 1-3 = the
+    remaining split ranges."""
+    out = {}
+    for key, value in state_dict.items():
+        if key.startswith(prefix):
+            rest = key[len(prefix):]
+            if rest.startswith("_conv_stem."):
+                key = prefix + "blocks.0.0." + rest[len("_conv_stem."):]
+            elif rest.startswith("_bn0."):
+                key = prefix + "blocks.0.1." + rest[len("_bn0."):]
+            elif rest.startswith("_blocks."):
+                parts = rest.split(".")
+                j = int(parts[1])
+                tail = ".".join(parts[2:])
+                if j < splits[1]:
+                    key = f"{prefix}blocks.0.{2 + j}.{tail}"
+                else:
+                    for g in range(1, 4):
+                        if splits[g] <= j < splits[g + 1]:
+                            key = f"{prefix}blocks.{g}.{j - splits[g]}.{tail}"
+                            break
+        out[key] = value
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -435,19 +490,31 @@ class TorchDecoderBlock(nn.Module):
 
 
 class TorchMidasNet(nn.Module):
-    """ResNet-encoder MidasNet with the reference's Sequential key layout."""
+    """MidasNet mirror with the reference's Sequential key layout.
+
+    Default encoder is ResNet (lasinger2019.py:107-111 key layout). Pass
+    ``encoder`` (any taps-returning module, e.g. TorchEfficientNetFeatures)
+    for the efficientnet variants — its keys land under ``encoder.*`` and are
+    translated to the ``encoder.blocks.g.j`` convention at export time via
+    ``efficientnet_export_keys(sd, splits, prefix="encoder.")``.
+    """
 
     def __init__(self, layers=(2, 2, 2, 2), block_channels=(256, 512, 1024, 2048),
-                 output_size_hw=(56, 72)):
+                 output_size_hw=(56, 72), encoder=None):
         super().__init__()
-        rn = TorchResNetFeatures(layers)
-        self.encoder = nn.Module()
-        self.encoder.blocks = nn.ModuleList([
-            nn.Sequential(rn.conv1, rn.bn1, nn.ReLU(), rn.maxpool, rn.layer1),
-            nn.Sequential(rn.layer2),
-            nn.Sequential(rn.layer3),
-            nn.Sequential(rn.layer4),
-        ])
+        if encoder is not None:
+            self.encoder = encoder
+            self._taps_encoder = True
+        else:
+            rn = TorchResNetFeatures(layers)
+            self.encoder = nn.Module()
+            self.encoder.blocks = nn.ModuleList([
+                nn.Sequential(rn.conv1, rn.bn1, nn.ReLU(), rn.maxpool, rn.layer1),
+                nn.Sequential(rn.layer2),
+                nn.Sequential(rn.layer3),
+                nn.Sequential(rn.layer4),
+            ])
+            self._taps_encoder = False
         f = block_channels[0]
         self.decoder = nn.Module()
         self.decoder.blocks = nn.ModuleList([
@@ -460,10 +527,13 @@ class TorchMidasNet(nn.Module):
         self.output_size_hw = output_size_hw
 
     def forward(self, x):
-        taps = []
-        for block in self.encoder.blocks:
-            x = block(x)
-            taps.append(x)
+        if self._taps_encoder:
+            taps = list(self.encoder(x))
+        else:
+            taps = []
+            for block in self.encoder.blocks:
+                x = block(x)
+                taps.append(x)
         sizes = [t.shape[-2:] for t in reversed(taps[:-1])]
         sizes.append((sizes[-1][0] * 2, sizes[-1][1] * 2))
         out = None
