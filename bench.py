@@ -34,6 +34,9 @@ ITERS = 10
 
 
 def main() -> None:
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -2,14 +2,15 @@
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["load_any_checkpoint", "make_infer_fn", "init_variables",
-           "infer_arch_from_path"]
+__all__ = ["load_any_checkpoint", "make_infer_fn", "make_staged_infer_fn",
+           "init_variables", "infer_arch_from_path"]
 
 
 def infer_arch_from_path(model_path: str) -> tuple[str, str]:
@@ -75,3 +76,82 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None):
         return out
 
     return lambda images: infer(variables, images)
+
+
+def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None):
+    """Hu2018 forward as four chained jit programs (encoder → D → MFF → R).
+
+    At large batch, XLA's single monolithic executable for a large model
+    hits a buffer-assignment cliff (measured on v5e: RN50-HU batch 128 runs
+    158 ms monolithic vs 95 ms staged — perf/composition_gap.py; an
+    optimization_barrier variant shows it is not a fusion effect). Chained
+    jits dispatch asynchronously, so the split costs no pipeline bubbles;
+    intermediates stay device-resident.
+
+    Measured e2e 640×480 serving on the v5e chip (perf/staged_sweep.py):
+    RN50-HU batch 128 → 1291 fps staged vs 783 monolithic (batch 256:
+    1280 vs 783). Small models do NOT benefit — ENB0-HU batch 128 is 2149
+    fps monolithic vs 1429 staged (stage-boundary HBM round-trips dominate
+    without the cliff) — so this path is opt-in for large-footprint
+    models/batches, not the default. Falls back to ``make_infer_fn`` for
+    non-Hu models.
+    """
+    from efficientdepthestimation_tpu.models.hu2018 import (
+        DecoderD,
+        HuDepthModel,
+        MFF,
+        RefineR,
+    )
+    from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
+
+    if not isinstance(model, HuDepthModel):
+        return make_infer_fn(model, variables,
+                             upsample_to=upsample_to, dtype=dtype)
+
+    if dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda v: v.astype(dtype) if hasattr(v, "astype") and
+            v.dtype == jnp.float32 else v, variables)
+    variables = jax.device_put(variables)
+
+    def sub(name):
+        out = {"params": variables["params"][name]}
+        if "batch_stats" in variables:
+            out["batch_stats"] = variables["batch_stats"][name]
+        return out
+
+    enc = model.encoder_factory()
+    d_mod = DecoderD(model.num_features)
+    mff_mod = MFF()
+    r_mod = RefineR(model.block_channel[3])
+
+    @jax.jit
+    def run_enc(v, images):
+        if dtype is not None:
+            images = images.astype(dtype)
+        return enc.apply(v, images, False)
+
+    run_d = jax.jit(lambda v, taps: d_mod.apply(v, taps, False))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_mff(v, taps, size):
+        return mff_mod.apply(v, taps, size, False)
+
+    @jax.jit
+    def run_r(v, x_d, x_mff):
+        out = r_mod.apply(v, jnp.concatenate([x_d, x_mff], axis=-1), False)
+        out = out.astype(jnp.float32)
+        if upsample_to is not None:
+            out = resize_bilinear_align_corners(out, upsample_to)
+        return out
+
+    ev, dv, mv, rv = sub("E"), sub("D"), sub("MFF"), sub("R")
+
+    def infer(images):
+        taps = run_enc(ev, images)
+        size = (taps[0].shape[1] * 2, taps[0].shape[2] * 2)
+        x_d = run_d(dv, taps)
+        x_mff = run_mff(mv, taps, size)
+        return run_r(rv, x_d, x_mff)
+
+    return infer

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from efficientdepthestimation_tpu.models.common import BatchNorm, Conv, kaiming_uniform
 from efficientdepthestimation_tpu.ops.conv import conv2d
-from efficientdepthestimation_tpu.ops.fused import should_fuse, upsample_conv
+from efficientdepthestimation_tpu.ops.fused import should_fuse, upsample_conv_pair
 from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 
 __all__ = ["UpProjection", "DecoderD", "MFF", "RefineR", "HuDepthModel"]
@@ -55,8 +55,7 @@ class UpProjection(nn.Module):
         # (ops/fused.py) — the MFF branches upsample many-channel maps by
         # large factors; the decoder's 2× steps stay on the direct path.
         if should_fuse(x.shape[1:3], size, cin, self.features):
-            b1 = upsample_conv(x, k1, size)
-            b2 = upsample_conv(x, k2, size)
+            b1, b2 = upsample_conv_pair(x, k1, k2, size)
         else:
             up = resize_bilinear_align_corners(x, size)
             b1 = conv2d(up, k1.astype(up.dtype), stride=1, padding=2)

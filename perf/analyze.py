@@ -20,19 +20,41 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(fn, *args, warmup=2, iters=10):
-    """fn must return a scalar jax array; fetching it forces completion."""
+V5E_BF16_PEAK_TFLOPS = 197.0  # v5e per-chip bf16 peak (MXU)
+
+
+def measure(fn, *args, warmup=3, iters=20):
+    """fn(*args, carry) -> carry; chained scalar carry, one fetch per window
+    (amortizes the ~28 ms tunnel round-trip that a per-call fetch pays)."""
+    import jax.numpy as jnp
+
+    carry = jnp.zeros((), jnp.float32)
     for _ in range(warmup):
-        float(fn(*args))
+        carry = fn(*args, carry)
+    float(carry)
+    carry = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for _ in range(iters):
-        value = float(fn(*args))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(value)
-    return dt
+        carry = fn(*args, carry)
+    assert np.isfinite(float(carry))
+    return (time.perf_counter() - t0) / iters
+
+
+def cost_flops(jitted, *args):
+    """XLA cost-analysis FLOPs of a compiled program (NaN if unavailable)."""
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
 
 
 def main():
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -74,34 +96,36 @@ def main():
                     variables))
 
                 @jax.jit
-                def pre_s(fr):
-                    return jnp.sum(eval_preprocess_image_only(fr).astype(dtype)
-                                   .astype(jnp.float32))
+                def pre_s(fr, carry):
+                    return carry + jnp.sum(
+                        eval_preprocess_image_only(fr).astype(dtype)
+                        .astype(jnp.float32))
 
                 @jax.jit
                 def stage_pre(fr):
                     return eval_preprocess_image_only(fr).astype(dtype)
 
                 @jax.jit
-                def model_s(v, images):
-                    return jnp.sum(model.apply(v, images).astype(jnp.float32))
+                def model_s(v, images, carry):
+                    return carry + jnp.sum(
+                        model.apply(v, images).astype(jnp.float32))
 
                 @jax.jit
                 def stage_model(v, images):
                     return model.apply(v, images)
 
                 @jax.jit
-                def up_s(depth):
-                    return jnp.sum(resize_bilinear_align_corners(
+                def up_s(depth, carry):
+                    return carry + jnp.sum(resize_bilinear_align_corners(
                         depth.astype(jnp.float32), (480, 640)))
 
                 @jax.jit
-                def full_s(v, fr):
+                def full_s(v, fr, carry):
                     images = eval_preprocess_image_only(fr).astype(dtype)
                     depth = model.apply(v, images)
                     depth = resize_bilinear_align_corners(
                         depth.astype(jnp.float32), (480, 640))
-                    return jnp.sum(depth)
+                    return carry + jnp.sum(depth)
 
                 images = jax.block_until_ready(stage_pre(frames))
                 depth = jax.block_until_ready(stage_model(cast_vars, images))
@@ -113,6 +137,16 @@ def main():
                     "e2e_ms": measure(full_s, cast_vars, frames) * 1e3,
                 }
                 entry["fps_per_chip"] = batch / (entry["e2e_ms"] / 1e3)
+                # Analytic FLOPs (XLA cost analysis) → achieved TFLOP/s and
+                # MFU for the model stage, so progress is measured against
+                # the MXU peak, not only against the 30 fps GPU baseline.
+                model_flops = cost_flops(stage_model, cast_vars, images)
+                if np.isfinite(model_flops):
+                    tfs = model_flops / (entry["model_ms"] / 1e3) / 1e12
+                    entry["model_gflops_per_batch"] = round(model_flops / 1e9, 1)
+                    entry["model_tflops_per_s"] = round(tfs, 1)
+                    entry["model_mfu_pct"] = round(
+                        100 * tfs / V5E_BF16_PEAK_TFLOPS, 1)
                 report["results"].append(entry)
                 print(json.dumps(entry))
 

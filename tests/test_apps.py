@@ -60,6 +60,26 @@ def test_load_any_checkpoint_ede(workspace):
     assert "params" in variables
 
 
+def test_staged_infer_matches_monolithic(workspace):
+    """The 4-program staged Hu forward (encoder→D→MFF→R, used at large
+    serving batch to dodge XLA's monolithic buffer-assignment cliff) must
+    produce the same depths as the single-program path."""
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import (
+        make_infer_fn,
+        make_staged_infer_fn,
+    )
+
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 228, 304, 3)), jnp.float32)
+    mono = make_infer_fn(model, variables, upsample_to=(480, 640))(x)
+    staged = make_staged_infer_fn(model, variables, upsample_to=(480, 640))(x)
+    np.testing.assert_allclose(np.asarray(staged), np.asarray(mono),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_infer_arch_from_path():
     assert infer_arch_from_path("pretrained_model/model_resnet") == ("resnet50", "hu2018")
     assert infer_arch_from_path("x/efficientnet-b0-lasinger2019.pth") == (

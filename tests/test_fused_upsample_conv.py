@@ -25,6 +25,23 @@ def test_upsample_conv_matches_direct(rng, in_hw, out_hw, cin, cout):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_upsample_conv_pair_matches_direct(rng):
+    from efficientdepthestimation_tpu.ops.fused import upsample_conv_pair
+
+    in_hw, out_hw, cin, cout = (15, 19), (29, 38), 24, 12
+    x = jnp.asarray(rng.standard_normal((2, *in_hw, cin)).astype(np.float32))
+    k1 = jnp.asarray(rng.standard_normal((5, 5, cin, cout)).astype(np.float32) * 0.1)
+    k2 = jnp.asarray(rng.standard_normal((5, 5, cin, cout)).astype(np.float32) * 0.1)
+    up = resize_bilinear_align_corners(x, out_hw)
+    b1, b2 = upsample_conv_pair(x, k1, k2, out_hw)
+    np.testing.assert_allclose(
+        np.asarray(b1), np.asarray(conv2d(up, k1, stride=1, padding=2)),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(b2), np.asarray(conv2d(up, k2, stride=1, padding=2)),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_should_fuse_heuristic():
     # MFF up4 for RN50: 2048ch 8×10 → 114×152, 16 out: fuse
     assert should_fuse((8, 10), (114, 152), 2048, 16)
