@@ -58,8 +58,12 @@ class UpProjection(nn.Module):
             b1, b2 = upsample_conv_pair(x, k1, k2, size)
         else:
             up = resize_bilinear_align_corners(x, size)
-            b1 = conv2d(up, k1.astype(up.dtype), stride=1, padding=2)
-            b2 = conv2d(up, k2.astype(up.dtype), stride=1, padding=2)
+            # One conv with branch-stacked output channels: a lone
+            # ``features``-wide output leaves MXU lanes half-empty when
+            # features < 128 (e.g. D.up4's 64); stacking fills them.
+            kk = jnp.concatenate([k1, k2], axis=-1).astype(up.dtype)
+            b = conv2d(up, kk, stride=1, padding=2)
+            b1, b2 = b[..., : self.features], b[..., self.features:]
 
         b1 = BatchNorm(name="bn1")(b1, use_running_average=not train)
         b1 = nn.relu(b1)

@@ -62,3 +62,32 @@ def test_hu_model_unchanged_by_fusion(rng):
     out = model.apply(variables, x)
     assert out.shape == (1, 32, 48, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("in_hw,out_hw,cin,cout", [
+    ((9, 11), (18, 22), 16, 8),      # 2× (D.up4-shaped, small)
+    ((7, 9), (13, 19), 12, 16),      # odd sizes, odd tile split
+])
+def test_upsample_conv_pallas_matches_direct(rng, in_hw, out_hw, cin, cout):
+    """VMEM-resident Pallas direct path ≡ XLA resize→conv (interpret mode)."""
+    import jax
+
+    from efficientdepthestimation_tpu.ops.pallas.upproj import (
+        upsample_conv_pallas,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, *in_hw, cin)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((5, 5, cin, cout)).astype(np.float32) * 0.1)
+    ref = conv2d(resize_bilinear_align_corners(x, out_hw), k, stride=1, padding=2)
+    out = upsample_conv_pallas(x, k, out_hw, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradient falls back to the XLA composition: must match exactly
+    f = lambda xx, kk: jnp.sum(upsample_conv_pallas(xx, kk, out_hw, True) ** 2)
+    g = lambda xx, kk: jnp.sum(conv2d(
+        resize_bilinear_align_corners(xx, out_hw), kk, stride=1, padding=2) ** 2)
+    gx1, gk1 = jax.grad(f, (0, 1))(x, k)
+    gx2, gk2 = jax.grad(g, (0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), rtol=1e-4, atol=1e-3)
