@@ -48,7 +48,8 @@ def init_variables(model, input_hw=(228, 304), batch: int = 1, seed: int = 0):
     )
 
 
-def make_infer_fn(model, variables, *, upsample_to=None, dtype=None):
+def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
+                  mesh=None):
     """jit'd forward on normalized NHWC images; optional output upsample.
 
     The variables are passed as jit *arguments* (bound here), never closed
@@ -56,6 +57,14 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None):
     (including the axon tunnel) re-stage on every call — measured at ~50 ms
     per call for ENB0-HU vs ~0.4 ms with argument-passed, device-resident
     weights.
+
+    ``mesh``: SPMD data-parallel *serving* over a ``parallel.create_mesh``
+    device mesh — parameters replicated, batch sharded along the ``data``
+    axis (the inference-side analogue of the reference's DataParallel use in
+    test/demo/benchmark wrappers, ReSIDE/test.py:17, demo.py:32,
+    Benchmark/reside_model.py:47-49). The batch must be divisible by the
+    data-axis size; outputs come back sharded the same way, so chained
+    device code keeps running without a gather.
     """
     from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -63,9 +72,20 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None):
         variables = jax.tree_util.tree_map(
             lambda v: v.astype(dtype) if hasattr(v, "astype") and
             v.dtype == jnp.float32 else v, variables)
-    variables = jax.device_put(variables)
 
-    @jax.jit
+    if mesh is None:
+        variables = jax.device_put(variables)
+        in_shardings = None
+    else:
+        from efficientdepthestimation_tpu.parallel.mesh import (
+            data_sharding,
+            replicated_sharding,
+        )
+
+        variables = jax.device_put(variables, replicated_sharding(mesh))
+        in_shardings = (replicated_sharding(mesh), data_sharding(mesh))
+
+    @functools.partial(jax.jit, in_shardings=in_shardings)
     def infer(variables, images):
         if dtype is not None:
             images = images.astype(dtype)

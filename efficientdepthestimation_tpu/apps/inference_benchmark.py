@@ -28,10 +28,16 @@ from efficientdepthestimation_tpu.utils import Timer
 
 
 def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
-                         bf16: bool = False):
+                         bf16: bool = False, data_parallel: bool = False):
     loading_timer = Timer()
     with loading_timer:
         model, variables = load_any_checkpoint(model_path)
+
+    mesh = None
+    if data_parallel:
+        from efficientdepthestimation_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
 
     inference_timer = Timer()
     last = None
@@ -42,7 +48,8 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
             if infer is None:  # one jit per (shape, checkpoint)
                 h, w = frames.shape[1:3]
                 infer = make_infer_fn(model, variables, upsample_to=(h, w),
-                                      dtype=jnp.bfloat16 if bf16 else None)
+                                      dtype=jnp.bfloat16 if bf16 else None,
+                                      mesh=mesh)
             images = eval_preprocess_image_only(frames)
             last = infer(images)
         if last is not None:
@@ -63,6 +70,10 @@ def main(args: Optional[List[str]] = None):
     parser.add_argument("-o", "--output-dir", default=".", type=str)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 weights/activations (MXU-native serving).")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="SPMD serving over all visible devices (batch "
+                             "sharded on the mesh's data axis; batch size "
+                             "must divide evenly).")
     args = parser.parse_args(args)
 
     dataset = VideoFrameDataset(args.frames_dir)
@@ -76,7 +87,8 @@ def main(args: Optional[List[str]] = None):
         print(path)
         for trial in range(args.num_trials):
             load_t, infer_t, peak = benchmark_checkpoint(
-                dataset, path, args.batch_size, bf16=args.bf16)
+                dataset, path, args.batch_size, bf16=args.bf16,
+                data_parallel=args.data_parallel)
             rows.append({
                 "model": os.path.splitext(filename)[0],
                 "trial": trial,

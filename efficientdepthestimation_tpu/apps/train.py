@@ -81,6 +81,12 @@ def parse_args(args: Optional[List[str]] = None):
     parser.add_argument("--resume", default=None, type=str,
                         help="Path to a train-state checkpoint for exact resume.")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--crop-hw", nargs=2, type=int, default=[228, 304],
+                        metavar=("H", "W"),
+                        help="Network input crop (TPU-build extension; the "
+                             "reference hardcodes 304x228, "
+                             "nyu_transform.py:121-151). Tests use small "
+                             "crops to keep compiles cheap.")
     parser.add_argument("--watch-every", default=1, type=int,
                         help="Log parameter/gradient histograms every N "
                              "epochs (wandb.watch parity, train.py:134); "
@@ -116,13 +122,15 @@ def main(args: Optional[List[str]] = None):
         print(f"mesh={dict(mesh.shape)} batch_size={batch_size} "
               f"processes={jax.process_count()}")
 
+    crop = tuple(args.crop_hw)
     if args.decoder == "hu2018":
         model = build_model(args.encoder, "hu2018")
     else:
         model = build_model(args.encoder, "lasinger2019",
-                            output_size=(114, 152), input_size=(228, 304))
+                            output_size=(crop[0] // 2, crop[1] // 2),
+                            input_size=crop)
 
-    variables = init_variables(model, (228, 304), batch=2, seed=args.seed)
+    variables = init_variables(model, crop, batch=2, seed=args.seed)
     steps_per_epoch = None  # filled below once dataset size is known
 
     train_ds = DepthPairDataset(args.train_csv, is_test=False)
@@ -147,10 +155,10 @@ def main(args: Optional[List[str]] = None):
         state = state.replace(step=jnp.asarray(args.start_epoch * steps_per_epoch))
 
     train_step = make_train_step(use_pallas_loss=args.use_pallas_loss,
-                                 mixed_precision=args.bf16)
+                                 mixed_precision=args.bf16, crop_hw=crop)
     eval_step = make_eval_step()
     grad_snapshot = make_grad_snapshot(use_pallas_loss=args.use_pallas_loss,
-                                       mixed_precision=args.bf16)
+                                       mixed_precision=args.bf16, crop_hw=crop)
 
     num_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
     # Only process 0 performs run I/O; other pod processes get the same
@@ -182,7 +190,7 @@ def main(args: Optional[List[str]] = None):
 
         with test_timer:
             metrics = run_eval_epoch(state, eval_step, test_ds, batch_size, mesh,
-                                     sharding)
+                                     sharding, crop_hw=crop)
 
         if metrics.abs_rel.value < min_loss:
             min_loss = metrics.abs_rel.value
@@ -209,7 +217,8 @@ def main(args: Optional[List[str]] = None):
         # data — replicate it into global arrays on a pod.
         example_batch = next(batch_iterator(test_ds, min(batch_size, 8), pad_last=True))
         images, depths = eval_preprocess(
-            jnp.asarray(example_batch["image"]), jnp.asarray(example_batch["depth"]))
+            jnp.asarray(example_batch["image"]),
+            jnp.asarray(example_batch["depth"]), crop_hw=crop)
         images = _replicate_global(images, mesh)
         depths = _replicate_global(depths, mesh)
         with inference_timer:
@@ -338,13 +347,15 @@ def run_train_epoch(state, train_step, dataset, batch_size, mesh, sharding,
     return state, {"loss": loss_sum / max(loss_n, 1)}
 
 
-def run_eval_epoch(state, eval_step, dataset, batch_size, mesh, sharding):
+def run_eval_epoch(state, eval_step, dataset, batch_size, mesh, sharding,
+                   crop_hw=(228, 304)):
     is_main = jax.process_index() == 0
     tracker = MetricsTracker()
     seen = 0
     epoch_start = datetime.datetime.now()
     for batch in _epoch_batches(dataset, batch_size, mesh, sharding):
-        images, depths = eval_preprocess(batch["image"], batch["depth"])
+        images, depths = eval_preprocess(batch["image"], batch["depth"],
+                                         crop_hw=crop_hw)
         sums, _ = eval_step(state, images, depths,
                             jnp.asarray(batch["num_valid"], jnp.int32))
         tracker.update_from_sums(jax.device_get(sums))

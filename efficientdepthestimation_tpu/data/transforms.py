@@ -178,12 +178,16 @@ def _grayscale(img: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("crop_hw", "depth_hw"))
 def train_preprocess(key: jax.Array, images_u8: jax.Array, depths_u8: jax.Array,
                      crop_hw: tuple[int, int] = (228, 304),
-                     depth_hw: tuple[int, int] = (114, 152)):
+                     depth_hw: tuple[int, int] | None = None):
     """Training preprocessing + augmentation (loaddata.py:32-65), batched.
 
     images_u8: (N,480,640,3) uint8; depths_u8: (N,480,640[,1]) uint8 (depth
     stored ×25.5/m in 8-bit train PNGs; ToTensor maps /255×10 → metres).
+    ``depth_hw`` defaults to half the crop — the decoder's output resolution
+    (152×114 for the reference's 304×228 crop, nyu_transform.py:121-151).
     """
+    if depth_hw is None:
+        depth_hw = (crop_hw[0] // 2, crop_hw[1] // 2)
     if depths_u8.ndim == 3:
         depths_u8 = depths_u8[..., None]
     n = images_u8.shape[0]

@@ -97,7 +97,8 @@ def create_train_state(model, variables, tx: optax.GradientTransformation) -> Tr
 
 def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
                     pallas_interpret: bool = False, donate: bool = True,
-                    mixed_precision: bool = False):
+                    mixed_precision: bool = False,
+                    crop_hw: tuple = (228, 304)):
     """Build the jit'd train step.
 
     ``preprocess=True`` takes raw uint8 batches (image 480×640×3, depth
@@ -115,7 +116,8 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
         # an epoch get zero loss/metric weight (VERDICT round-1, Weak #1).
         num_valid = batch.get("num_valid")
         if preprocess:
-            images, depths = train_preprocess(rng_aug, batch["image"], batch["depth"])
+            images, depths = train_preprocess(rng_aug, batch["image"],
+                                              batch["depth"], crop_hw=crop_hw)
         else:
             images, depths = batch["image"], batch["depth"]
         if mixed_precision:
@@ -148,7 +150,8 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
 
 def make_grad_snapshot(*, use_pallas_loss: bool = False, preprocess: bool = True,
                        pallas_interpret: bool = False,
-                       mixed_precision: bool = False):
+                       mixed_precision: bool = False,
+                       crop_hw: tuple = (228, 304)):
     """jit'd gradient probe for observability: same loss as the train step but
     returns the raw gradient pytree without applying it — feeds
     ``RunLogger.log_histograms`` once per epoch (wandb.watch parity,
@@ -159,7 +162,8 @@ def make_grad_snapshot(*, use_pallas_loss: bool = False, preprocess: bool = True
         rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
         num_valid = batch.get("num_valid")
         if preprocess:
-            images, depths = train_preprocess(rng_aug, batch["image"], batch["depth"])
+            images, depths = train_preprocess(rng_aug, batch["image"],
+                                              batch["depth"], crop_hw=crop_hw)
         else:
             images, depths = batch["image"], batch["depth"]
         if mixed_precision:

@@ -179,3 +179,26 @@ def test_depth_video_app(workspace, tmp_path):
     assert cap.get(cv2.CAP_PROP_FRAME_WIDTH) == 3840
     assert cap.get(cv2.CAP_PROP_FRAME_HEIGHT) == 1080
     cap.release()
+
+
+def test_data_parallel_serving_matches_single_device(workspace):
+    """make_infer_fn(mesh=...) shards the batch over the data axis (SPMD
+    serving analogue of the reference's DataParallel in test/demo wrappers);
+    results must match the single-device path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import make_infer_fn
+    from efficientdepthestimation_tpu.parallel import create_mesh
+
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((8, 228, 304, 3)), jnp.float32)
+
+    single = make_infer_fn(model, variables, upsample_to=(480, 640))(x)
+    mesh = create_mesh()
+    sharded = make_infer_fn(model, variables, upsample_to=(480, 640),
+                            mesh=mesh)(x)
+    assert len(sharded.sharding.device_set) == mesh.shape["data"]
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)

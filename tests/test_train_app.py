@@ -52,6 +52,10 @@ def test_train_cli_one_epoch(synthetic_nyu, tmp_path, monkeypatch):
         "--train-csv", synthetic_nyu["train_csv"],
         "--test-csv", synthetic_nyu["test_csv"],
         "--per-device-batch", "1",
+        # small crop keeps the CPU compile cheap (the full 228x304 graph
+        # took ~14 min of this suite's runtime); geometry-independence is
+        # what the flag exists for, full-size runs happen on the TPU
+        "--crop-hw", "64", "96",
     ])
     assert os.path.isfile(ckpt)
     run_dir = os.path.dirname(ckpt)
