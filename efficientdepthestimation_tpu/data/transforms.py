@@ -18,10 +18,12 @@ Pipelines (shapes are static per pipeline, so each compiles once):
   * demo  (loaddata_demo.py:23-38): Scale(320×240) → CenterCrop(304×228) →
     ToTensor → Normalize.
 
-Known divergence (documented): RandomRotate uses bilinear resampling on
-device where the reference uses scipy's order-2 spline
+Known divergence (documented): RandomRotate uses a Paeth three-shear
+resampling on device (per-pass linear interpolation, gather-free — see
+``_rotate_shear``) where the reference uses scipy's order-2 spline
 (nyu_transform.py:36-49); the augmentation is random so this does not affect
-eval parity.
+eval parity. ``_rotate_gather`` keeps the exact one-pass bilinear formulation
+for tests.
 """
 
 from __future__ import annotations
@@ -138,8 +140,80 @@ def demo_preprocess(images_u8: jax.Array, crop_hw: tuple[int, int] = (228, 304),
 # ---------------------------------------------------------------------------
 
 
-def _rotate_bilinear(x: jax.Array, angle_deg: jax.Array) -> jax.Array:
-    """Rotate NHWC batch about the image centre, zero-filled, per-sample angle."""
+def _fractional_shift(x: jax.Array, s: jax.Array, axis: int,
+                      max_abs: float) -> jax.Array:
+    """Per-line fractional translation along ``axis`` (1=y or 2=x), zero-fill.
+
+    ``out[..., p] = in[..., p + s(line)]`` with linear interpolation in the
+    fractional part of ``s``. ``s`` has shape (N, L) where L is the length of
+    the *other* spatial axis (each row gets its own x-shift, or each column
+    its own y-shift). Implemented as a static sum of rolled copies weighted
+    per line — rolls are slice+concat and the weighted accumulation fuses, so
+    this runs at HBM bandwidth instead of the gather unit (TPU gathers are
+    ~40x slower; measured in perf/train_profile.py). ``max_abs`` bounds |s|
+    and fixes the static tap range.
+    """
+    size = x.shape[axis]
+    k0 = jnp.floor(s)
+    if axis == 1:
+        expand = lambda t: t[:, None, :, None]   # (N,W) -> per-column y-shift
+    else:
+        expand = lambda t: t[:, :, None, None]   # (N,H) -> per-row x-shift
+    f = expand(s - k0)
+    pos = jnp.arange(size)
+    taps = int(np.ceil(max_abs))
+    out = jnp.zeros_like(x)
+    for k in range(-taps, taps + 1):
+        # tap k samples in[p + k]: weight (1-f) when k == floor(s), f when
+        # k == floor(s)+1; out-of-range source positions contribute zero.
+        wk = (expand(jnp.where(k0 == k, 1.0, 0.0)) * (1.0 - f)
+              + expand(jnp.where(k0 == k - 1, 1.0, 0.0)) * f)
+        valid = (pos + k >= 0) & (pos + k < size)
+        valid = valid[None, :, None, None] if axis == 1 else valid[None, None, :, None]
+        out = out + jnp.roll(x, -k, axis) * jnp.where(valid, wk, 0.0)
+    return out
+
+
+def _rotate_shear(x: jax.Array, angle_deg: jax.Array,
+                  max_angle_deg: float = 5.0) -> jax.Array:
+    """Rotate an NHWC batch about the image centre (per-sample angles) with
+    the Paeth three-shear decomposition: Sx(a) . Sy(b) . Sx(a) with
+    a = tan(theta/2), b = -sin(theta) equals the inverse-map rotation the
+    reference's ``scipy.ndimage.rotate`` applies (nyu_transform.py:36-49).
+
+    Each shear is a per-line 1-D fractional shift (no gathers) so the whole
+    rotation runs at HBM bandwidth; the gather formulation
+    (``_rotate_gather``) costs ~200 ms per call at (64,240,320) on v5e vs
+    ~5 ms for this. Interpolation is per-pass linear (three-pass) rather than
+    one-pass bilinear — both diverge comparably from the reference's order-2
+    spline, which is fine for a *random* augmentation (documented at module
+    top). Zero-filled outside the source frame, like ``reshape=False``
+    rotate.
+    """
+    n, h, w, c = x.shape
+    theta = -angle_deg * jnp.pi / 180.0  # match _rotate_gather's convention
+    max_t = abs(max_angle_deg) * np.pi / 180.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yc = jnp.arange(h, dtype=jnp.float32) - cy     # (H,)
+    xc = jnp.arange(w, dtype=jnp.float32) - cx     # (W,)
+    a = jnp.tan(theta / 2.0)[:, None]              # (N,1)
+    b = -jnp.sin(theta)[:, None]
+    max_a = np.tan(max_t / 2.0) * max(cy, h - 1 - cy)
+    max_b = np.sin(max_t) * max(cx, w - 1 - cx)
+    # src = Sx(a).Sy(b).Sx(a) . dest applied as three sampling passes.
+    x = _fractional_shift(x, a * yc[None, :], axis=2, max_abs=max_a)
+    x = _fractional_shift(x, b * xc[None, :], axis=1, max_abs=max_b)
+    x = _fractional_shift(x, a * yc[None, :], axis=2, max_abs=max_a)
+    return x
+
+
+def _rotate_gather(x: jax.Array, angle_deg: jax.Array) -> jax.Array:
+    """Rotate NHWC batch about the image centre, zero-filled, per-sample angle.
+
+    Exact one-pass bilinear resampling via 4-neighbour gathers. Kept as the
+    reference implementation for tests; the training pipeline uses
+    ``_rotate_shear`` (gathers are ~40x slower on TPU).
+    """
     n, h, w, c = x.shape
     theta = -angle_deg * jnp.pi / 180.0  # ndimage rotates CCW for positive angle
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -202,10 +276,13 @@ def train_preprocess(key: jax.Array, images_u8: jax.Array, depths_u8: jax.Array,
     images = jnp.where(flip[:, None, None, None], images[:, :, ::-1], images)
     depths = jnp.where(flip[:, None, None, None], depths[:, :, ::-1], depths)
 
-    # RandomRotate(±5°) — bilinear on device (reference: scipy spline order 2)
+    # RandomRotate(±5°) — three-shear on device (reference: scipy spline
+    # order 2). One fused 4-channel call: image and depth share the shear
+    # weight computation and the memory passes.
     angles = jax.random.uniform(k_rot, (n,), minval=-5.0, maxval=5.0)
-    images = jnp.clip(jnp.round(_rotate_bilinear(images, angles)), 0, 255)
-    depths = _rotate_bilinear(depths, angles)
+    rotated = _rotate_shear(jnp.concatenate([images, depths], axis=-1), angles)
+    images = jnp.clip(jnp.round(rotated[..., :3]), 0, 255)
+    depths = rotated[..., 3:]
 
     # CenterCrop: image → crop_hw, depth → crop then resize to depth_hw
     images = center_crop(images, *crop_hw)

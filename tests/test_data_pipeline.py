@@ -104,6 +104,46 @@ def test_train_preprocess_shapes_and_ranges(nyu_fixture):
     assert np.abs(np.asarray(images) - np.asarray(images2)).max() > 1e-3
 
 
+def test_rotate_shear_matches_exact_bilinear():
+    """The gather-free three-shear rotate (the training fast path) agrees
+    with the exact one-pass bilinear rotate — which itself matches
+    scipy.ndimage.rotate(order=1) exactly — to interpolation-scheme
+    tolerance on smooth images (nyu_transform.py:36-49)."""
+    import scipy.ndimage as ndi
+
+    from efficientdepthestimation_tpu.data.transforms import (
+        _rotate_gather,
+        _rotate_shear,
+    )
+
+    rng = np.random.default_rng(3)
+    base = ndi.gaussian_filter(
+        rng.standard_normal((2, 48, 64, 3)).astype(np.float32), (0, 2, 2, 0))
+    x = jnp.asarray(base)
+    angles_np = np.array([3.7, -4.9], np.float32)
+    angles = jnp.asarray(angles_np)
+
+    gathered = np.asarray(_rotate_gather(x, angles))
+    sheared = np.asarray(_rotate_shear(x, angles))
+
+    # angle 0 is the identity (weights collapse onto tap 0)
+    np.testing.assert_allclose(
+        np.asarray(_rotate_shear(x, jnp.zeros(2))), base, atol=1e-5)
+
+    # gather path is exactly scipy order-1 away from the frame edge (the
+    # edge differs: per-tap zero masking vs scipy's cval for the whole sample)
+    interior = (slice(None), slice(8, 40), slice(8, 56))
+    for i, a in enumerate(angles_np):
+        ref = np.stack(
+            [ndi.rotate(base[i, ..., c], float(a), reshape=False, order=1,
+                        mode="constant") for c in range(3)], -1)
+        np.testing.assert_allclose(gathered[i][interior[1:]],
+                                   ref[interior[1:]], atol=1e-4)
+
+    # three-pass linear vs one-pass bilinear: small interior divergence only
+    assert np.abs(gathered[interior] - sheared[interior]).max() < 0.05
+
+
 def test_depth_pair_dataset_and_batching(nyu_fixture):
     csv_path = nyu_fixture["tmp_path"] / "pairs.csv"
     with open(csv_path, "w") as f:
