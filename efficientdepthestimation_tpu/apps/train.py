@@ -73,6 +73,11 @@ def parse_args(args: Optional[List[str]] = None):
     parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)
     parser.add_argument("--per-device-batch", default=8, type=int)
     parser.add_argument("--use-pallas-loss", action="store_true")
+    parser.add_argument("--split-preprocess", action="store_true",
+                        help="Compile augmentation and fwd/bwd as two chained "
+                             "programs — use at large per-device batches "
+                             "(>=128) where the monolithic program hits "
+                             "XLA's scheduling cliff (PERFORMANCE.md)")
     parser.add_argument("--bf16", action="store_true",
                         help="Mixed precision: bfloat16 activations, f32 "
                              "params/BN/loss/optimizer.")
@@ -155,7 +160,8 @@ def main(args: Optional[List[str]] = None):
         state = state.replace(step=jnp.asarray(args.start_epoch * steps_per_epoch))
 
     train_step = make_train_step(use_pallas_loss=args.use_pallas_loss,
-                                 mixed_precision=args.bf16, crop_hw=crop)
+                                 mixed_precision=args.bf16, crop_hw=crop,
+                                 split_preprocess=args.split_preprocess)
     eval_step = make_eval_step()
     grad_snapshot = make_grad_snapshot(use_pallas_loss=args.use_pallas_loss,
                                        mixed_precision=args.bf16, crop_hw=crop)

@@ -98,7 +98,8 @@ def create_train_state(model, variables, tx: optax.GradientTransformation) -> Tr
 def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
                     pallas_interpret: bool = False, donate: bool = True,
                     mixed_precision: bool = False,
-                    crop_hw: tuple = (228, 304)):
+                    crop_hw: tuple = (228, 304),
+                    split_preprocess: bool = False):
     """Build the jit'd train step.
 
     ``preprocess=True`` takes raw uint8 batches (image 480×640×3, depth
@@ -108,7 +109,36 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
     ``mixed_precision=True`` runs activations in bfloat16 (MXU-native) while
     parameters, BN statistics, the loss and the optimizer stay in float32
     (the Conv/BatchNorm modules cast per-op and normalize in f32).
+
+    ``split_preprocess=True`` compiles the augmentation stack and the
+    forward/backward/optimizer as TWO chained programs instead of one.
+    Semantics are identical (the rng streams derive the same way, equivalence
+    is test-pinned) and async dispatch chains the programs without a host
+    bubble. Measured neutral at batch <=64 on one v5e chip; kept as the
+    escape hatch if a monolithic-program scheduling cliff appears at other
+    geometries (serving needed exactly this at RN50 batch >=128,
+    PERFORMANCE.md round 2).
     """
+    if split_preprocess and preprocess:
+        core = make_train_step(
+            use_pallas_loss=use_pallas_loss, preprocess=False,
+            pallas_interpret=pallas_interpret, donate=donate,
+            mixed_precision=mixed_precision, crop_hw=crop_hw)
+
+        @jax.jit
+        def pre_step(step, batch, rng):
+            rng_aug = jax.random.split(jax.random.fold_in(rng, step))[0]
+            return train_preprocess(rng_aug, batch["image"], batch["depth"],
+                                    crop_hw=crop_hw)
+
+        def train_step(state: TrainState, batch: dict, rng: jax.Array):
+            images, depths = pre_step(state.step, batch, rng)
+            fed = {"image": images, "depth": depths}
+            if "num_valid" in batch:
+                fed["num_valid"] = batch["num_valid"]
+            return core(state, fed, rng)
+
+        return train_step
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -124,8 +154,21 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
             images = images.astype(jnp.bfloat16)
 
         def loss_fn(params):
+            # Mixed precision casts the WHOLE param tree once here (grads
+            # flow back to the f32 master copy through the cast's VJP). The
+            # optimization_barrier is load-bearing: without it XLA fuses the
+            # f32->bf16 weight converts into the training convolutions, which
+            # falls off a 40x cliff at batch >= 96 on v5e (1807 -> 44 ms
+            # forward at ENB0 batch 128; perf/train_probe.py). The barrier
+            # forces real bf16 weight buffers before the convs.
+            apply_params = params
+            if mixed_precision:
+                apply_params = jax.lax.optimization_barrier(
+                    jax.tree_util.tree_map(
+                        lambda v: v.astype(jnp.bfloat16)
+                        if v.dtype == jnp.float32 else v, params))
             out, updates = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": apply_params, "batch_stats": state.batch_stats},
                 images, True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng_drop},
@@ -170,8 +213,14 @@ def make_grad_snapshot(*, use_pallas_loss: bool = False, preprocess: bool = True
             images = images.astype(jnp.bfloat16)
 
         def loss_fn(params):
+            apply_params = params
+            if mixed_precision:  # cast once + barrier, as in make_train_step
+                apply_params = jax.lax.optimization_barrier(
+                    jax.tree_util.tree_map(
+                        lambda v: v.astype(jnp.bfloat16)
+                        if v.dtype == jnp.float32 else v, params))
             out = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": apply_params, "batch_stats": state.batch_stats},
                 images, True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng_drop},

@@ -41,11 +41,13 @@ def main():
     batches = [int(b) for b in sys.argv[2:]] or [32, 64]
     bf16 = os.environ.get("EDE_F32", "0") != "1"
     pallas = os.environ.get("EDE_PALLAS", "0") == "1"
+    split = os.environ.get("EDE_SPLIT", "0") == "1"
 
     model = build_model(encoder, "hu2018")
     variables = init_variables(model, (228, 304), batch=2)
     tx = adam_with_l2(1e-4, 1e-4)
-    step = make_train_step(use_pallas_loss=pallas, mixed_precision=bf16)
+    step = make_train_step(use_pallas_loss=pallas, mixed_precision=bf16,
+                           split_preprocess=split)
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
@@ -80,7 +82,7 @@ def main():
         assert np.isfinite(final)
         print(json.dumps({
             "encoder": encoder, "batch": batch,
-            "bf16": bf16, "pallas_loss": pallas,
+            "bf16": bf16, "pallas_loss": pallas, "split": split,
             "step_ms": round(dt * 1e3, 2),
             "images_per_s_per_chip": round(batch / dt, 1),
         }), flush=True)

@@ -50,6 +50,43 @@ def test_train_step_runs_and_updates(rng):
     assert not np.allclose(old_stats, jax.tree_util.tree_leaves(state.batch_stats)[0])
 
 
+def test_split_preprocess_matches_monolith(rng):
+    """split_preprocess=True (two chained programs, the large-batch path)
+    derives the same rng streams and computes the same update as the
+    monolithic one-program step."""
+    crop = (32, 48)
+    batch = {
+        "image": jnp.asarray(rng.integers(0, 256, (2, 480, 640, 3),
+                                          dtype=np.uint8)),
+        "depth": jnp.asarray(rng.integers(10, 250, (2, 480, 640),
+                                          dtype=np.uint8)),
+        "num_valid": jnp.asarray(1, jnp.int32),
+    }
+    key = jax.random.PRNGKey(7)
+    results = []
+    for split in (False, True):
+        # SGD, not Adam: Adam's m/sqrt(v) turns a float-reorder sign flip on
+        # a ~1e-9 gradient into a 2*lr param difference, which would make the
+        # comparison test compiler fusion rather than our step semantics.
+        model = build_model("resnet18", "hu2018")
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((2, 32, 48, 3)))
+        state = create_train_state(model, variables, optax.sgd(1e-3))
+        step = make_train_step(preprocess=True, donate=False, crop_hw=crop,
+                               split_preprocess=split)
+        new_state, metrics = step(state, batch, key)
+        results.append((new_state, metrics))
+    (s0, m0), (s1, m1) = results
+    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]), rtol=1e-5)
+    for name in ("abs_rel", "mse", "delta1"):
+        np.testing.assert_allclose(float(m0[name]), float(m1[name]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_train_loss_decreases_on_fixed_batch(rng):
     model, state = _tiny_state(lr=1e-3)
     step = make_train_step(preprocess=False, donate=False)
