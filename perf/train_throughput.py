@@ -80,12 +80,27 @@ def main():
                               "error": str(e)[:120]}), flush=True)
             continue
         assert np.isfinite(final)
-        print(json.dumps({
+        row = {
             "encoder": encoder, "batch": batch,
             "bf16": bf16, "pallas_loss": pallas, "split": split,
             "step_ms": round(dt * 1e3, 2),
             "images_per_s_per_chip": round(batch / dt, 1),
-        }), flush=True)
+        }
+        if not split:
+            # whole-program FLOPs (aug + fwd + bwd + Adam + metrics) from
+            # XLA cost analysis -> training MFU vs the v5e bf16 MXU peak
+            try:
+                an = step.lower(state, data, key).compile().cost_analysis()
+                if isinstance(an, list):
+                    an = an[0]
+                flops = float(an.get("flops", float("nan")))
+                if np.isfinite(flops):
+                    row["step_gflops"] = round(flops / 1e9, 1)
+                    row["train_mfu_pct"] = round(
+                        100 * flops / dt / 197.0e12, 1)
+            except Exception:
+                pass
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

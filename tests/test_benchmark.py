@@ -259,3 +259,32 @@ def test_get_and_save_sample_output(nyu_csv, tmp_path):
     assert 0.0 <= samples.min() and samples.max() <= 1.0
     save_sample_output(FlatDepthEstimator(), "flat", ds, str(tmp_path))
     assert len(os.listdir(tmp_path / "flat" / "depth")) == 2
+
+
+def test_preset_model_tables_match_reference():
+    """--preset chapter3/chapter4 reproduce the reference's experiment
+    tables (benchmark.py:513-557): model names, order, and the chapter-4
+    auto random-weights entry + senet baseline. Loaders stay lazy, so no
+    checkpoints are needed to pin the table shape."""
+    import argparse
+
+    from efficientdepthestimation_tpu.benchmark.harness import preset_model_loaders
+
+    args = argparse.Namespace(
+        preset="chapter3",
+        reside_enb0_path="ENB0-HU.pth", reside_enb4_path="ENB4-HU.pth",
+        reside_resnet50_path="RN50-HU.pth", reside_senet_path="SENET-HU.pth",
+        midas_enb0_path="ENB0-LR.pth", midas_enb4_path="ENB4-LR.pth",
+        midas_resnet50_path="RN50-LR.pth",
+    )
+    names3 = [name for name, _, _ in preset_model_loaders(args, data=None)]
+    assert names3 == ["reside_enb0", "reside_enb4", "reside_resnet50",
+                      "midas_enb0", "midas_enb4", "midas_resnet50"]
+
+    args.preset = "chapter4"
+    names4 = [name for name, _, _ in preset_model_loaders(args, data=None)]
+    assert names4 == ["reside_enb0", "reside_senet",
+                      "reside_enb0-random_weights", "flat"]
+
+    args.preset = None
+    assert preset_model_loaders(args, data=None) == []
