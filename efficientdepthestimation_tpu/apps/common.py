@@ -153,11 +153,16 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None):
 
     run_d = jax.jit(lambda v, taps: d_mod.apply(v, taps, False))
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    # Stage intermediates are donated at their *last* consumer (taps feed
+    # both D and MFF, so MFF — which runs second — donates them; D's and
+    # MFF's outputs are donated into R). TPU programs execute in dispatch
+    # order, so donation frees each intermediate's HBM the moment its final
+    # reader runs — batch-256 serving headroom without changing results.
+    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
     def run_mff(v, taps, size):
         return mff_mod.apply(v, taps, size, False)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
     def run_r(v, x_d, x_mff):
         out = r_mod.apply(v, jnp.concatenate([x_d, x_mff], axis=-1), False)
         out = out.astype(jnp.float32)
