@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["load_any_checkpoint", "make_infer_fn", "make_staged_infer_fn",
-           "init_variables", "infer_arch_from_path"]
+           "make_tiled_infer_fn", "init_variables", "infer_arch_from_path"]
 
 
 def infer_arch_from_path(model_path: str) -> tuple[str, str]:
@@ -178,5 +178,39 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None):
         x_d = run_d(dv, taps)
         x_mff = run_mff(mv, taps, size)
         return run_r(rv, x_d, x_mff)
+
+    return infer
+
+
+def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
+                        upsample_to=None, dtype=None):
+    """Serve arbitrary batch sizes by slicing into ``tile_batch`` tiles.
+
+    TPU lane tiling makes batch-128 multiples the throughput sweet spot
+    (PERFORMANCE.md): RN50-HU staged runs 1280+ fps at 128/256/384 but drops
+    to ~945 fps at 192, and monolithic batch 512 OOMs outright. This wrapper
+    dispatches full tiles through the sweet-spot program and the remainder
+    through its own (cached) program; chained jits dispatch asynchronously,
+    so tiles pipeline with no host sync between them, and peak HBM is
+    bounded by one tile's working set regardless of total batch — the
+    TPU-serving analogue of the reference's DataLoader chunking
+    (Benchmark/reside_model.py:47-55, ReSIDE/test.py:17-33).
+
+    Each distinct remainder size compiles once; fixed serving configurations
+    see exactly two compilations (tile + remainder).
+    """
+    maker = make_staged_infer_fn if staged else make_infer_fn
+    base = maker(model, variables, upsample_to=upsample_to, dtype=dtype)
+
+    def infer(images):
+        n = images.shape[0]
+        if n <= tile_batch:
+            return base(images)
+        outs = [base(images[i:i + tile_batch])
+                for i in range(0, n - tile_batch + 1, tile_batch)]
+        rem = n % tile_batch
+        if rem:
+            outs.append(base(images[n - rem:]))
+        return jnp.concatenate(outs, axis=0)
 
     return infer

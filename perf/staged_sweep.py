@@ -28,6 +28,7 @@ def main():
         init_variables,
         make_infer_fn,
         make_staged_infer_fn,
+        make_tiled_infer_fn,
     )
     from efficientdepthestimation_tpu.data.transforms import (
         eval_preprocess_image_only,
@@ -48,6 +49,8 @@ def main():
                          dtype=jnp.bfloat16)
     staged = make_staged_infer_fn(model, variables, upsample_to=(480, 640),
                                   dtype=jnp.bfloat16)
+    tiled = make_tiled_infer_fn(model, variables, upsample_to=(480, 640),
+                                dtype=jnp.bfloat16)
 
     def measure(infer, frames, warmup=3, iters=15):
         carry = jnp.zeros((), jnp.float32)
@@ -64,7 +67,8 @@ def main():
     for batch in batches:
         frames = jnp.asarray(
             rng.integers(0, 256, (batch, 480, 640, 3), dtype=np.uint8))
-        for name, infer in (("staged", staged), ("monolithic", mono)):
+        for name, infer in (("staged", staged), ("monolithic", mono),
+                            ("tiled128", tiled)):
             try:
                 ms = measure(infer, frames) * 1e3
             except Exception as e:  # OOM at large batch

@@ -80,6 +80,28 @@ def test_staged_infer_matches_monolithic(workspace):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_tiled_infer_matches_monolithic(workspace):
+    """Batch-tiled serving (sweet-spot tiles + remainder program) must equal
+    the single-dispatch forward for batches that are NOT a tile multiple."""
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import (
+        make_infer_fn,
+        make_tiled_infer_fn,
+    )
+
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((5, 228, 304, 3)), jnp.float32)
+    mono = make_infer_fn(model, variables, upsample_to=(480, 640))(x)
+    for staged in (False, True):
+        tiled = make_tiled_infer_fn(model, variables, tile_batch=2,
+                                    staged=staged, upsample_to=(480, 640))(x)
+        assert tiled.shape == mono.shape
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(mono),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_infer_arch_from_path():
     assert infer_arch_from_path("pretrained_model/model_resnet") == ("resnet50", "hu2018")
     assert infer_arch_from_path("x/efficientnet-b0-lasinger2019.pth") == (
