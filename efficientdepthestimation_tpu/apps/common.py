@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["load_any_checkpoint", "make_infer_fn", "make_staged_infer_fn",
-           "make_tiled_infer_fn", "init_variables", "infer_arch_from_path"]
+           "make_tiled_infer_fn", "make_serving_fn", "init_variables",
+           "infer_arch_from_path"]
 
 
 def infer_arch_from_path(model_path: str) -> tuple[str, str]:
@@ -214,3 +215,40 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
         return jnp.concatenate(outs, axis=0)
 
     return infer
+
+
+def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
+                    dtype=None, mesh=None):
+    """Pick the fastest measured serving path for (model, batch) automatically.
+
+    Policy (all numbers measured on a v5e chip, 640×480 e2e,
+    perf/staged_sweep_results.jsonl):
+
+    - ``mesh`` given → SPMD data-parallel monolithic (``make_infer_fn``).
+    - wide-top encoders (top tap ≥ 1024 channels: ResNet50+, SENet-154,
+      DenseNet-161) at batch ≥ 128 → staged programs (dodges XLA's
+      monolithic buffer-assignment cliff: RN50 1291 vs 783 fps,
+      SENet 641 vs 482).
+    - narrow-top encoders (EfficientNets) → monolithic (staged boundaries
+      cost more than the cliff: ENB0 2149 vs 1429 at batch 128).
+    - batch > 128 → batch-tiled over the chosen base, holding the batch-128
+      sweet-spot rate and bounding peak HBM (ENB0 b512: 2170 tiled-mono vs
+      1444 mono; RN50 b512: 1294 tiled-staged vs 781 mono).
+
+    ``batch_hint`` is the expected per-dispatch batch; without it the
+    monolithic path is returned (small-batch apps: demo, point_clouds).
+    """
+    if mesh is not None or batch_hint is None:
+        return make_infer_fn(model, variables, upsample_to=upsample_to,
+                             dtype=dtype, mesh=mesh)
+
+    wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
+    staged = wide_top and batch_hint >= 128
+    if batch_hint > 128:
+        return make_tiled_infer_fn(model, variables, staged=staged,
+                                   upsample_to=upsample_to, dtype=dtype)
+    if staged:
+        return make_staged_infer_fn(model, variables,
+                                    upsample_to=upsample_to, dtype=dtype)
+    return make_infer_fn(model, variables, upsample_to=upsample_to,
+                         dtype=dtype)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from efficientdepthestimation_tpu.apps.common import load_any_checkpoint, make_infer_fn
+from efficientdepthestimation_tpu.apps.common import load_any_checkpoint, make_serving_fn
 from efficientdepthestimation_tpu.data import (
     VideoFrameDataset,
     batch_iterator,
@@ -47,9 +47,9 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
             frames = jnp.asarray(batch["image"])
             if infer is None:  # one jit per (shape, checkpoint)
                 h, w = frames.shape[1:3]
-                infer = make_infer_fn(model, variables, upsample_to=(h, w),
-                                      dtype=jnp.bfloat16 if bf16 else None,
-                                      mesh=mesh)
+                infer = make_serving_fn(model, variables, upsample_to=(h, w),
+                                        dtype=jnp.bfloat16 if bf16 else None,
+                                        mesh=mesh, batch_hint=batch_size)
             images = eval_preprocess_image_only(frames)
             last = infer(images)
         if last is not None:

@@ -14,7 +14,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from efficientdepthestimation_tpu.apps.common import load_any_checkpoint, make_infer_fn
+from efficientdepthestimation_tpu.apps.common import load_any_checkpoint, make_serving_fn
 from efficientdepthestimation_tpu.data import (
     DepthPairDataset,
     batch_iterator,
@@ -52,7 +52,8 @@ def main(args: Optional[List[str]] = None):
         os.makedirs(out_dir, exist_ok=True)
         model, variables = load_any_checkpoint(
             os.path.join(args.checkpoint_dir, filename))
-        infer = make_infer_fn(model, variables, upsample_to=(480, 640))
+        infer = make_serving_fn(model, variables, upsample_to=(480, 640),
+                                batch_hint=args.batch_size)
 
         index = 0
         with AsyncImageWriter() as writer:

@@ -102,6 +102,52 @@ def test_tiled_infer_matches_monolithic(workspace):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_make_serving_fn_policy_and_equivalence(workspace):
+    """make_serving_fn picks staged for wide-top encoders at batch>=128,
+    tiled beyond 128, monolithic otherwise — and every path agrees."""
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps import common
+
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+
+    calls = []
+    real = {"mono": common.make_infer_fn, "staged": common.make_staged_infer_fn,
+            "tiled": common.make_tiled_infer_fn}
+    try:
+        common.make_infer_fn = lambda *a, **k: calls.append("mono") or real["mono"](*a, **k)
+        common.make_staged_infer_fn = lambda *a, **k: calls.append("staged") or real["staged"](*a, **k)
+        common.make_tiled_infer_fn = lambda *a, **k: calls.append("tiled") or real["tiled"](*a, **k)
+
+        # resnet18 top tap is 512 channels -> narrow -> monolithic even at 128
+        common.make_serving_fn(model, variables, batch_hint=128)
+        assert calls == ["mono"]
+        calls.clear()
+        common.make_serving_fn(model, variables, batch_hint=256)
+        assert calls[0] == "tiled"
+        calls.clear()
+
+        import dataclasses
+        wide = dataclasses.replace(model, block_channel=(256, 512, 1024, 2048))
+        common.make_serving_fn(wide, variables, batch_hint=64)
+        assert calls == ["mono"]
+        calls.clear()
+        common.make_serving_fn(wide, variables, batch_hint=128)
+        assert calls[0] == "staged"
+        calls.clear()
+    finally:
+        common.make_infer_fn = real["mono"]
+        common.make_staged_infer_fn = real["staged"]
+        common.make_tiled_infer_fn = real["tiled"]
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((3, 228, 304, 3)), jnp.float32)
+    mono = common.make_infer_fn(model, variables)(x)
+    served = common.make_serving_fn(model, variables, batch_hint=3)(x)
+    np.testing.assert_allclose(np.asarray(served), np.asarray(mono),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_infer_arch_from_path():
     assert infer_arch_from_path("pretrained_model/model_resnet") == ("resnet50", "hu2018")
     assert infer_arch_from_path("x/efficientnet-b0-lasinger2019.pth") == (
