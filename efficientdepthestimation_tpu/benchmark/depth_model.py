@@ -69,11 +69,26 @@ class _WrappedModel(DepthModel):
 
         self._forward = forward
 
+    # Flattened batches are served in fixed-size tiles: distinct video
+    # lengths would otherwise each compile their own program, and one
+    # bounded tile caps peak HBM regardless of frame count (the policy
+    # behind apps/common.make_tiled_infer_fn; remainder shapes compile once).
+    _tile = 128
+
     def estimate_depth(self, images):
         images = jnp.asarray(images, jnp.float32)
         lead = images.shape[:-3]
         h, w, c = images.shape[-3:]
-        out = self._forward(self.variables, images.reshape(-1, h, w, c))
+        flat = images.reshape(-1, h, w, c)
+        n, t = flat.shape[0], self._tile
+        if n <= t:
+            out = self._forward(self.variables, flat)
+        else:
+            outs = [self._forward(self.variables, flat[i:i + t])
+                    for i in range(0, n - t + 1, t)]
+            if n % t:
+                outs.append(self._forward(self.variables, flat[n - n % t:]))
+            out = jnp.concatenate(outs, axis=0)
         return out.reshape(lead + out.shape[-2:])
 
     def save(self, file_name):
