@@ -37,6 +37,7 @@ from efficientdepthestimation_tpu.parallel import (
     distributed_batch_iterator,
     maybe_initialize_distributed,
     replicated_sharding,
+    zero1_state_shardings,
     scale_batch_size,
     shard_batch,
 )
@@ -78,6 +79,10 @@ def parse_args(args: Optional[List[str]] = None):
                              "programs — use at large per-device batches "
                              "(>=128) where the monolithic program hits "
                              "XLA's scheduling cliff (PERFORMANCE.md)")
+    parser.add_argument("--zero1", action="store_true",
+                        help="shard the Adam moments across the data axis "
+                             "(ZeRO-1): N× less optimizer HBM per chip, "
+                             "numerics unchanged up to float reduction order")
     parser.add_argument("--bf16", action="store_true",
                         help="Mixed precision: bfloat16 activations, f32 "
                              "params/BN/loss/optimizer.")
@@ -155,13 +160,19 @@ def main(args: Optional[List[str]] = None):
         state, resume_header = load_train_state(args.resume, state)
         args.start_epoch = max(args.start_epoch, resume_header["epoch"] + 1)
         print(f"Resumed from {args.resume} at epoch {args.start_epoch}")
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state_shardings = None
+    if args.zero1:
+        state_shardings = zero1_state_shardings(state, mesh)
+        state = jax.device_put(state, state_shardings)
+    else:
+        state = jax.device_put(state, replicated_sharding(mesh))
     if args.start_epoch and not args.resume:
         state = state.replace(step=jnp.asarray(args.start_epoch * steps_per_epoch))
 
     train_step = make_train_step(use_pallas_loss=args.use_pallas_loss,
                                  mixed_precision=args.bf16, crop_hw=crop,
-                                 split_preprocess=args.split_preprocess)
+                                 split_preprocess=args.split_preprocess,
+                                 state_shardings=state_shardings)
     eval_step = make_eval_step()
     grad_snapshot = make_grad_snapshot(use_pallas_loss=args.use_pallas_loss,
                                        mixed_precision=args.bf16, crop_hw=crop)
@@ -214,9 +225,18 @@ def main(args: Optional[List[str]] = None):
             save_train_state,
         )
 
+        state_to_save = state
+        if args.zero1 and jax.process_count() > 1:
+            # ZeRO-sharded moments aren't process-addressable on a pod;
+            # all-gather them SPMD (every process participates) so the
+            # process-0 write below sees whole arrays
+            gather = jax.jit(lambda t: t,
+                             out_shardings=replicated_sharding(mesh))
+            state_to_save = state.replace(opt_state=gather(state.opt_state))
         if is_main:
-            save_train_state(os.path.join(logger.dir, "train_state.ede"), state,
-                             encoder=args.encoder, decoder=args.decoder, epoch=epoch)
+            save_train_state(os.path.join(logger.dir, "train_state.ede"),
+                             state_to_save, encoder=args.encoder,
+                             decoder=args.decoder, epoch=epoch)
 
         # example depth images from the first test batch (train.py:163-177);
         # batch_iterator is deterministic so every process holds identical

@@ -6,6 +6,8 @@ from efficientdepthestimation_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     scale_batch_size,
+    zero1_shardings,
+    zero1_state_shardings,
 )
 from efficientdepthestimation_tpu.parallel.multihost import (
     distributed_batch_iterator,

@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["create_mesh", "data_sharding", "replicated_sharding", "shard_batch",
-           "scale_batch_size"]
+           "scale_batch_size", "zero1_shardings", "zero1_state_shardings"]
 
 
 def create_mesh(n_devices: int | None = None, model_parallel: int = 1,
@@ -51,6 +51,45 @@ def shard_batch(batch, mesh: Mesh):
     sharding = data_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x, batch
+    )
+
+
+def zero1_shardings(tree, mesh: Mesh, axis: str = "data"):
+    """Per-leaf shardings that split a pytree across ``axis`` (ZeRO-1 style).
+
+    Each array leaf is sharded along its *largest* dimension divisible by the
+    axis size (conv kernels are HWIO, so the wide O dim is the usual pick);
+    leaves with no divisible dimension, and scalars (Adam ``count``), stay
+    replicated. Applied to the optimizer state this is ZeRO stage 1: every
+    device stores 1/N of the Adam moments, XLA's partitioner runs the
+    moment/update elementwise math on the local shard, and the weight update
+    is re-gathered — identical numerics (elementwise ops are exact under any
+    partitioning), N× less optimizer HBM.
+    """
+    n = mesh.shape[axis]
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        dims = [i for i, d in enumerate(shape) if d % n == 0 and d > 0]
+        if not dims:
+            return replicated_sharding(mesh)
+        best = max(dims, key=lambda i: shape[i])
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+def zero1_state_shardings(state, mesh: Mesh, axis: str = "data"):
+    """TrainState-shaped sharding pytree: params/BN/step replicated (the SPMD
+    forward wants whole weights), optimizer state ZeRO-1-sharded."""
+    rep = replicated_sharding(mesh)
+    return state.replace(
+        step=rep,
+        params=jax.tree_util.tree_map(lambda _: rep, state.params),
+        batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+        opt_state=zero1_shardings(state.opt_state, mesh, axis),
     )
 
 

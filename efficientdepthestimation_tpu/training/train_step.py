@@ -99,7 +99,8 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
                     pallas_interpret: bool = False, donate: bool = True,
                     mixed_precision: bool = False,
                     crop_hw: tuple = (228, 304),
-                    split_preprocess: bool = False):
+                    split_preprocess: bool = False,
+                    state_shardings=None):
     """Build the jit'd train step.
 
     ``preprocess=True`` takes raw uint8 batches (image 480×640×3, depth
@@ -109,6 +110,12 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
     ``mixed_precision=True`` runs activations in bfloat16 (MXU-native) while
     parameters, BN statistics, the loss and the optimizer stay in float32
     (the Conv/BatchNorm modules cast per-op and normalize in f32).
+
+    ``state_shardings``: a TrainState-shaped pytree of shardings (see
+    ``parallel.zero1_state_shardings``) pinned as the step's state output
+    shardings, so a ZeRO-1-sharded optimizer state *stays* sharded across
+    steps (donated buffers re-used shard-for-shard) instead of being
+    re-replicated by sharding propagation.
 
     ``split_preprocess=True`` compiles the augmentation stack and the
     forward/backward/optimizer as TWO chained programs instead of one.
@@ -123,7 +130,8 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
         core = make_train_step(
             use_pallas_loss=use_pallas_loss, preprocess=False,
             pallas_interpret=pallas_interpret, donate=donate,
-            mixed_precision=mixed_precision, crop_hw=crop_hw)
+            mixed_precision=mixed_precision, crop_hw=crop_hw,
+            state_shardings=state_shardings)
 
         @jax.jit
         def pre_step(step, batch, rng):
@@ -188,7 +196,12 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
         metrics["loss"] = loss
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jit_kwargs = {}
+    if state_shardings is not None:
+        # metrics (second output) sharding is left to the compiler
+        jit_kwargs["out_shardings"] = (state_shardings, None)
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                   **jit_kwargs)
 
 
 def make_grad_snapshot(*, use_pallas_loss: bool = False, preprocess: bool = True,

@@ -155,6 +155,69 @@ def test_spmd_train_step_on_8_device_mesh(rng):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_zero1_optimizer_sharding_matches_replicated(rng):
+    """ZeRO-1 optimizer-state sharding: Adam moments live at 1/8 per device,
+    training numerics are identical to the fully-replicated run, and the
+    state stays sharded across donated steps."""
+    from efficientdepthestimation_tpu.parallel import zero1_state_shardings
+
+    mesh = create_mesh()
+    batch_np = {
+        "image": rng.standard_normal((8, 32, 48, 3)).astype(np.float32),
+        "depth": rng.uniform(1, 9, (8, 16, 24, 1)).astype(np.float32),
+    }
+
+    def run(zero1):
+        # momentum-SGD, not Adam: the trace state has param-shaped leaves
+        # (so ZeRO-1 sharding is exercised) but the update stays *linear* in
+        # the gradient — Adam's m/sqrt(v) would turn the ~1e-9 float-reorder
+        # differences of a repartitioned reduction into full ±lr sign-flip
+        # updates (see test_split_preprocess_matches_monolith).
+        model = build_model("resnet18", "hu2018")
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((2, 32, 48, 3)))
+        state = create_train_state(model, variables,
+                                   optax.sgd(1e-3, momentum=0.9))
+        if zero1:
+            shardings = zero1_state_shardings(state, mesh)
+            state = jax.device_put(state, shardings)
+            step = make_train_step(preprocess=False, donate=True,
+                                   state_shardings=shardings)
+        else:
+            state = jax.device_put(state, replicated_sharding(mesh))
+            step = make_train_step(preprocess=False, donate=True)
+        batch = shard_batch(dict(batch_np), mesh)
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        return state, float(metrics["loss"])
+
+    rep_state, rep_loss = run(zero1=False)
+    z1_state, z1_loss = run(zero1=True)
+
+    # equal up to float reduction-order epsilon: re-partitioning the update
+    # math legitimately reorders conv/psum reductions (~1e-7 per step)
+    assert z1_loss == pytest.approx(rep_loss, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(rep_state.params),
+                    jax.tree_util.tree_leaves(z1_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+    # moments with an 8-divisible dim really live at 1/8 per device, and the
+    # out_shardings pin kept them sharded after two donated steps
+    mu_leaves = [l for l in jax.tree_util.tree_leaves(z1_state.opt_state)
+                 if getattr(l, "ndim", 0) >= 1
+                 and any(d % 8 == 0 and d > 0 for d in l.shape)]
+    assert mu_leaves, "expected shardable optimizer leaves"
+    sharded = [l for l in mu_leaves if not l.sharding.is_fully_replicated]
+    assert len(sharded) == len(mu_leaves)
+    for l in sharded:
+        shard_elems = np.prod(l.sharding.shard_shape(l.shape))
+        assert shard_elems * 8 == np.prod(l.shape)
+    # params stay replicated (the SPMD forward wants whole weights)
+    assert jax.tree_util.tree_leaves(z1_state.params)[0].sharding.is_fully_replicated
+
+
 def test_mixed_precision_train_step(rng):
     model, state = _tiny_state()
     step = make_train_step(preprocess=False, donate=False, mixed_precision=True)
