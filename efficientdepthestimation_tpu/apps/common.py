@@ -50,7 +50,7 @@ def init_variables(model, input_hw=(228, 304), batch: int = 1, seed: int = 0):
 
 
 def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
-                  mesh=None):
+                  mesh=None, spatial=False):
     """jit'd forward on normalized NHWC images; optional output upsample.
 
     The variables are passed as jit *arguments* (bound here), never closed
@@ -66,6 +66,12 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     Benchmark/reside_model.py:47-49). The batch must be divisible by the
     data-axis size; outputs come back sharded the same way, so chained
     device code keeps running without a gather.
+
+    ``spatial=True`` (with ``mesh``): spatial parallelism instead — image
+    *rows* are sharded across every mesh device and GSPMD compiles conv
+    halo exchanges onto ICI. This is the latency play for batch sizes too
+    small to data-shard (a single video frame on a whole slice); any batch
+    size works.
     """
     from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -81,13 +87,23 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
         from efficientdepthestimation_tpu.parallel.mesh import (
             data_sharding,
             replicated_sharding,
+            spatial_sharding,
         )
 
         variables = jax.device_put(variables, replicated_sharding(mesh))
-        in_shardings = (replicated_sharding(mesh), data_sharding(mesh))
+        if spatial:
+            # row counts need not divide the device count, and uneven shards
+            # can't cross the jit boundary — constrain *inside* the program
+            # (GSPMD pads the ragged shard) instead of pinning the argument
+            row_sharding = spatial_sharding(mesh)
+            in_shardings = (replicated_sharding(mesh), None)
+        else:
+            in_shardings = (replicated_sharding(mesh), data_sharding(mesh))
 
     @functools.partial(jax.jit, in_shardings=in_shardings)
     def infer(variables, images):
+        if mesh is not None and spatial:
+            images = jax.lax.with_sharding_constraint(images, row_sharding)
         if dtype is not None:
             images = images.astype(dtype)
         out = model.apply(variables, images)
@@ -218,13 +234,15 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
 
 
 def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
-                    dtype=None, mesh=None):
+                    dtype=None, mesh=None, spatial=False):
     """Pick the fastest measured serving path for (model, batch) automatically.
 
     Policy (all numbers measured on a v5e chip, 640×480 e2e,
     perf/staged_sweep_results.jsonl):
 
-    - ``mesh`` given → SPMD data-parallel monolithic (``make_infer_fn``).
+    - ``mesh`` given → SPMD monolithic (``make_infer_fn``): data-parallel
+      for throughput, or row-sharded spatial parallel (``spatial=True``)
+      when the batch is too small to split (single-frame latency).
     - wide-top encoders (top tap ≥ 1024 channels: ResNet50+, SENet-154,
       DenseNet-161) at batch ≥ 128 → staged programs (dodges XLA's
       monolithic buffer-assignment cliff: RN50 1291 vs 783 fps,
@@ -240,7 +258,7 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     """
     if mesh is not None or batch_hint is None:
         return make_infer_fn(model, variables, upsample_to=upsample_to,
-                             dtype=dtype, mesh=mesh)
+                             dtype=dtype, mesh=mesh, spatial=spatial)
 
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
     staged = wide_top and batch_hint >= 128

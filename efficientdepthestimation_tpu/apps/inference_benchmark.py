@@ -28,13 +28,14 @@ from efficientdepthestimation_tpu.utils import Timer
 
 
 def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
-                         bf16: bool = False, data_parallel: bool = False):
+                         bf16: bool = False, data_parallel: bool = False,
+                         spatial: bool = False):
     loading_timer = Timer()
     with loading_timer:
         model, variables = load_any_checkpoint(model_path)
 
     mesh = None
-    if data_parallel:
+    if data_parallel or spatial:
         from efficientdepthestimation_tpu.parallel import create_mesh
 
         mesh = create_mesh()
@@ -49,7 +50,8 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
                 h, w = frames.shape[1:3]
                 infer = make_serving_fn(model, variables, upsample_to=(h, w),
                                         dtype=jnp.bfloat16 if bf16 else None,
-                                        mesh=mesh, batch_hint=batch_size)
+                                        mesh=mesh, batch_hint=batch_size,
+                                        spatial=spatial)
             images = eval_preprocess_image_only(frames)
             last = infer(images)
         if last is not None:
@@ -74,6 +76,11 @@ def main(args: Optional[List[str]] = None):
                         help="SPMD serving over all visible devices (batch "
                              "sharded on the mesh's data axis; batch size "
                              "must divide evenly).")
+    parser.add_argument("--spatial", action="store_true",
+                        help="spatial-parallel serving: image rows sharded "
+                             "across all visible devices (GSPMD conv halo "
+                             "exchange) — the latency mode for batches too "
+                             "small to data-shard; any batch size works.")
     args = parser.parse_args(args)
 
     dataset = VideoFrameDataset(args.frames_dir)
@@ -88,7 +95,7 @@ def main(args: Optional[List[str]] = None):
         for trial in range(args.num_trials):
             load_t, infer_t, peak = benchmark_checkpoint(
                 dataset, path, args.batch_size, bf16=args.bf16,
-                data_parallel=args.data_parallel)
+                data_parallel=args.data_parallel, spatial=args.spatial)
             rows.append({
                 "model": os.path.splitext(filename)[0],
                 "trial": trial,

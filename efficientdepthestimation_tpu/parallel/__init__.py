@@ -6,6 +6,7 @@ from efficientdepthestimation_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     scale_batch_size,
+    spatial_sharding,
     zero1_shardings,
     zero1_state_shardings,
 )

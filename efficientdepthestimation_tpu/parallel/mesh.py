@@ -20,7 +20,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["create_mesh", "data_sharding", "replicated_sharding", "shard_batch",
-           "scale_batch_size", "zero1_shardings", "zero1_state_shardings"]
+           "scale_batch_size", "spatial_sharding", "zero1_shardings",
+           "zero1_state_shardings"]
 
 
 def create_mesh(n_devices: int | None = None, model_parallel: int = 1,
@@ -44,6 +45,22 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC activation sharding that splits image *height* across every mesh
+    device (batch and width stay whole).
+
+    Spatial parallelism for latency-bound serving: a single 640×480 frame is
+    too small a batch to data-shard, but its rows aren't — with the input
+    pinned to this sharding GSPMD partitions every conv spatially and
+    compiles the kernel-overlap halo exchanges (collective-permute of edge
+    rows) onto ICI, so one frame's FLOPs spread across the slice. Use via
+    ``make_infer_fn(..., mesh=..., spatial=True)``, which applies this as a
+    ``with_sharding_constraint`` inside the program — uneven row counts are
+    then handled by GSPMD's shard padding (jit argument pins would demand
+    divisibility)."""
+    return NamedSharding(mesh, P(None, ("data", "model")))
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -270,3 +270,27 @@ def test_data_parallel_serving_matches_single_device(workspace):
     assert len(sharded.sharding.device_set) == mesh.shape["data"]
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_parallel_serving_matches_single_device(workspace):
+    """make_infer_fn(mesh=..., spatial=True) shards image *rows* across all
+    8 devices (GSPMD conv halo exchange) — the latency path for a batch too
+    small to data-shard. Batch 1, non-divisible height (228 rows over 8
+    devices exercises GSPMD's shard padding)."""
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import make_infer_fn
+    from efficientdepthestimation_tpu.parallel import create_mesh
+
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 228, 304, 3)), jnp.float32)
+
+    single = make_infer_fn(model, variables, upsample_to=(480, 640))(x)
+    mesh = create_mesh()
+    spatial = make_infer_fn(model, variables, upsample_to=(480, 640),
+                            mesh=mesh, spatial=True)(x)
+    # the program really ran across the whole mesh, not one device
+    assert len(spatial.sharding.device_set) == mesh.devices.size
+    np.testing.assert_allclose(np.asarray(spatial), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
