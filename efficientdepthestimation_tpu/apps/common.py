@@ -115,8 +115,13 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     return lambda images: infer(variables, images)
 
 
-def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None):
+def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
+                         mff_merge: str = "module"):
     """Hu2018 forward as four chained jit programs (encoder → D → MFF → R).
+
+    ``mff_merge``: "module" runs the flax MFF as-is; "grouped"/"blockdiag"
+    run the four 16-channel branch tails as one 64-channel stream
+    (``models.hu2018.mff_apply_merged``) — exact, same variable tree.
 
     At large batch, XLA's single monolithic executable for a large model
     hits a buffer-assignment cliff (measured on v5e: RN50-HU batch 128 runs
@@ -138,6 +143,7 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None):
         HuDepthModel,
         MFF,
         RefineR,
+        mff_apply_merged,
     )
     from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -177,7 +183,10 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None):
     # reader runs — batch-256 serving headroom without changing results.
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
     def run_mff(v, taps, size):
-        return mff_mod.apply(v, taps, size, False)
+        if mff_merge == "module":
+            return mff_mod.apply(v, taps, size, False)
+        return mff_apply_merged(v, taps, size,
+                                block_diag=(mff_merge == "blockdiag"))
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def run_r(v, x_d, x_mff):

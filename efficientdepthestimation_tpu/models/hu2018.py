@@ -28,7 +28,8 @@ from efficientdepthestimation_tpu.ops.conv import conv2d
 from efficientdepthestimation_tpu.ops.fused import should_fuse, upsample_conv_pair
 from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 
-__all__ = ["UpProjection", "DecoderD", "MFF", "RefineR", "HuDepthModel"]
+__all__ = ["UpProjection", "DecoderD", "MFF", "RefineR", "HuDepthModel",
+           "mff_apply_merged"]
 
 
 class _Kernel(nn.Module):
@@ -105,6 +106,83 @@ class MFF(nn.Module):
         x = Conv(self.num_features, (5, 5), (1, 1), 2, use_bias=False, name="conv")(x)
         x = BatchNorm(name="bn")(x, use_running_average=not train)
         return nn.relu(x)
+
+
+def _bn_eval(x, p, s, eps: float = 1e-5):
+    """torch-eval BatchNorm from raw param/stat dicts (common.BatchNorm math)."""
+    inv = jax.lax.rsqrt(s["var"] + eps) * p["scale"]
+    out = x.astype(jnp.float32) * inv + (p["bias"] - s["mean"] * inv)
+    return out.astype(x.dtype)
+
+
+def mff_apply_merged(variables, taps: Sequence[jax.Array],
+                     size: tuple[int, int], *, block_diag: bool = False):
+    """Eval-mode MFF forward with the four branch *tails* merged.
+
+    Numerically equal to ``MFF().apply(variables, taps, size, False)`` and
+    reads the exact same variable tree — but after the per-branch
+    upsample×conv5×5 heads (which must stay separate: each tap has its own
+    source resolution), the four 16-channel tails run as ONE 64-channel
+    stream: concatenated BN (channelwise → concat commutes), a single 3×3
+    conv with the four ``conv1_2`` kernels stacked as a 4-group conv
+    (``block_diag=True`` pads them into one dense 64×64 block-diagonal
+    kernel instead — 4× the FLOPs, zeros off-block, but one full-lane MXU
+    matmul), BN, add, ReLU. Four lane-starved 16-channel dispatches become
+    one 64-channel dispatch (ReSIDE/models/modules.py:104-127 is the op
+    being merged).
+
+    Serving-path only (running BN stats); the flax module stays the single
+    source of truth for training.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+
+    b1s, b2s = [], []
+    for i, tap in enumerate(taps):
+        up = params[f"up{i + 1}"]
+        k1, k2 = up["conv1"]["kernel"], up["conv2"]["kernel"]
+        cin, cout = tap.shape[-1], k1.shape[-1]
+        if should_fuse(tap.shape[1:3], size, cin, cout):
+            b1p, b2p = upsample_conv_pair(tap, k1, k2, size)
+        else:
+            big = resize_bilinear_align_corners(tap, size)
+            kk = jnp.concatenate([k1, k2], axis=-1).astype(big.dtype)
+            b = conv2d(big, kk, stride=1, padding=2)
+            b1p, b2p = b[..., :cout], b[..., cout:]
+        b1s.append(b1p)
+        b2s.append(b2p)
+
+    def cat(name, coll, key):
+        return jnp.concatenate(
+            [(params if coll == "params" else stats)[f"up{i + 1}"][name][key]
+             for i in range(4)])
+
+    def cat_bn(x, name):
+        return _bn_eval(
+            x,
+            {"scale": cat(name, "params", "scale"),
+             "bias": cat(name, "params", "bias")},
+            {"mean": cat(name, "batch_stats", "mean"),
+             "var": cat(name, "batch_stats", "var")},
+        )
+
+    x1 = nn.relu(cat_bn(jnp.concatenate(b1s, axis=-1), "bn1"))
+    ks = [params[f"up{i + 1}"]["conv1_2"]["kernel"] for i in range(4)]
+    co = ks[0].shape[-1]
+    if block_diag:
+        kd = jnp.zeros((*ks[0].shape[:2], 4 * co, 4 * co), ks[0].dtype)
+        for i, k in enumerate(ks):
+            kd = kd.at[:, :, i * co:(i + 1) * co, i * co:(i + 1) * co].set(k)
+        x1 = conv2d(x1, kd.astype(x1.dtype), stride=1, padding=1)
+    else:
+        kg = jnp.concatenate(ks, axis=-1)  # (3, 3, co, 4·co), 4-group conv
+        x1 = conv2d(x1, kg.astype(x1.dtype), stride=1, padding=1, groups=4)
+    x1 = cat_bn(x1, "bn1_2")
+    x2 = cat_bn(jnp.concatenate(b2s, axis=-1), "bn2")
+    x = nn.relu(x1 + x2)
+
+    x = conv2d(x, params["conv"]["kernel"].astype(x.dtype), stride=1, padding=2)
+    x = _bn_eval(x, params["bn"], stats["bn"])
+    return nn.relu(x)
 
 
 class RefineR(nn.Module):

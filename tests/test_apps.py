@@ -75,9 +75,11 @@ def test_staged_infer_matches_monolithic(workspace):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 228, 304, 3)), jnp.float32)
     mono = make_infer_fn(model, variables, upsample_to=(480, 640))(x)
-    staged = make_staged_infer_fn(model, variables, upsample_to=(480, 640))(x)
-    np.testing.assert_allclose(np.asarray(staged), np.asarray(mono),
-                               rtol=2e-5, atol=2e-5)
+    for mff_merge in ("module", "grouped", "blockdiag"):
+        staged = make_staged_infer_fn(model, variables, upsample_to=(480, 640),
+                                      mff_merge=mff_merge)(x)
+        np.testing.assert_allclose(np.asarray(staged), np.asarray(mono),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_tiled_infer_matches_monolithic(workspace):

@@ -91,3 +91,31 @@ def test_upsample_conv_pallas_matches_direct(rng, in_hw, out_hw, cin, cout):
     gx2, gk2 = jax.grad(g, (0, 1))(x, k)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("block_diag", [False, True])
+def test_mff_merged_matches_module(rng, block_diag):
+    """mff_apply_merged (grouped/block-diagonal tail merge) ≡ MFF.apply in
+    eval mode, reading the identical variable tree."""
+    import jax
+
+    from efficientdepthestimation_tpu.models.hu2018 import MFF, mff_apply_merged
+
+    taps = [
+        jnp.asarray(rng.standard_normal((2, 16, 24, 16)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 8, 12, 32)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 4, 6, 64)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((2, 2, 3, 128)).astype(np.float32)),
+    ]
+    size = (32, 48)
+    mff = MFF()
+    variables = mff.init(jax.random.PRNGKey(0), taps, size)
+    # non-trivial BN stats so the eval math is actually exercised
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.1 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape)
+        if v.ndim == 1 else v, variables)
+
+    ref = mff.apply(variables, taps, size, False)
+    out = mff_apply_merged(variables, taps, size, block_diag=block_diag)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
