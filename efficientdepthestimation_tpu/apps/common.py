@@ -50,7 +50,7 @@ def init_variables(model, input_hw=(228, 304), batch: int = 1, seed: int = 0):
 
 
 def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
-                  mesh=None, spatial=False):
+                  mesh=None, spatial=False, dw_impl="xla"):
     """jit'd forward on normalized NHWC images; optional output upsample.
 
     The variables are passed as jit *arguments* (bound here), never closed
@@ -100,13 +100,16 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
         else:
             in_shardings = (replicated_sharding(mesh), data_sharding(mesh))
 
+    from efficientdepthestimation_tpu.ops.conv import depthwise_impl
+
     @functools.partial(jax.jit, in_shardings=in_shardings)
     def infer(variables, images):
         if mesh is not None and spatial:
             images = jax.lax.with_sharding_constraint(images, row_sharding)
         if dtype is not None:
             images = images.astype(dtype)
-        out = model.apply(variables, images)
+        with depthwise_impl(dw_impl):  # trace-time lowering choice
+            out = model.apply(variables, images)
         out = out.astype(jnp.float32)
         if upsample_to is not None:
             out = resize_bilinear_align_corners(out, upsample_to)
@@ -116,7 +119,7 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
 
 def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
-                         mff_merge: str = "module"):
+                         mff_merge: str = "module", dw_impl="xla"):
     """Hu2018 forward as four chained jit programs (encoder → D → MFF → R).
 
     ``mff_merge``: "module" runs the flax MFF as-is; "grouped"/"blockdiag"
@@ -168,11 +171,14 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     mff_mod = MFF()
     r_mod = RefineR(model.block_channel[3])
 
+    from efficientdepthestimation_tpu.ops.conv import depthwise_impl
+
     @jax.jit
     def run_enc(v, images):
         if dtype is not None:
             images = images.astype(dtype)
-        return enc.apply(v, images, False)
+        with depthwise_impl(dw_impl):
+            return enc.apply(v, images, False)
 
     run_d = jax.jit(lambda v, taps: d_mod.apply(v, taps, False))
 
@@ -209,7 +215,7 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
 
 def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
-                        upsample_to=None, dtype=None):
+                        upsample_to=None, dtype=None, dw_impl="xla"):
     """Serve arbitrary batch sizes by slicing into ``tile_batch`` tiles.
 
     TPU lane tiling makes batch-128 multiples the throughput sweet spot
@@ -226,7 +232,8 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
     see exactly two compilations (tile + remainder).
     """
     maker = make_staged_infer_fn if staged else make_infer_fn
-    base = maker(model, variables, upsample_to=upsample_to, dtype=dtype)
+    base = maker(model, variables, upsample_to=upsample_to, dtype=dtype,
+                 dw_impl=dw_impl)
 
     def infer(images):
         n = images.shape[0]
@@ -243,7 +250,7 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
 
 
 def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
-                    dtype=None, mesh=None, spatial=False):
+                    dtype=None, mesh=None, spatial=False, dw_impl="xla"):
     """Pick the fastest measured serving path for (model, batch) automatically.
 
     Policy (all numbers measured on a v5e chip, 640×480 e2e,
@@ -267,15 +274,18 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     """
     if mesh is not None or batch_hint is None:
         return make_infer_fn(model, variables, upsample_to=upsample_to,
-                             dtype=dtype, mesh=mesh, spatial=spatial)
+                             dtype=dtype, mesh=mesh, spatial=spatial,
+                             dw_impl=dw_impl)
 
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
     staged = wide_top and batch_hint >= 128
     if batch_hint > 128:
         return make_tiled_infer_fn(model, variables, staged=staged,
-                                   upsample_to=upsample_to, dtype=dtype)
+                                   upsample_to=upsample_to, dtype=dtype,
+                                   dw_impl=dw_impl)
     if staged:
         return make_staged_infer_fn(model, variables,
-                                    upsample_to=upsample_to, dtype=dtype)
+                                    upsample_to=upsample_to, dtype=dtype,
+                                    dw_impl=dw_impl)
     return make_infer_fn(model, variables, upsample_to=upsample_to,
-                         dtype=dtype)
+                         dtype=dtype, dw_impl=dw_impl)

@@ -29,7 +29,7 @@ from efficientdepthestimation_tpu.utils import Timer
 
 def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
                          bf16: bool = False, data_parallel: bool = False,
-                         spatial: bool = False):
+                         spatial: bool = False, dw_impl: str = "xla"):
     loading_timer = Timer()
     with loading_timer:
         model, variables = load_any_checkpoint(model_path)
@@ -51,7 +51,7 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
                 infer = make_serving_fn(model, variables, upsample_to=(h, w),
                                         dtype=jnp.bfloat16 if bf16 else None,
                                         mesh=mesh, batch_hint=batch_size,
-                                        spatial=spatial)
+                                        spatial=spatial, dw_impl=dw_impl)
             images = eval_preprocess_image_only(frames)
             last = infer(images)
         if last is not None:
@@ -81,6 +81,10 @@ def main(args: Optional[List[str]] = None):
                              "across all visible devices (GSPMD conv halo "
                              "exchange) — the latency mode for batches too "
                              "small to data-shard; any batch size works.")
+    parser.add_argument("--dw-impl", default="xla", choices=("xla", "shift"),
+                        help="depthwise-conv lowering for EfficientNet "
+                             "encoders: XLA grouped conv or shifted-FMA "
+                             "(exact; see ops.conv.depthwise_impl).")
     args = parser.parse_args(args)
 
     dataset = VideoFrameDataset(args.frames_dir)
@@ -95,7 +99,8 @@ def main(args: Optional[List[str]] = None):
         for trial in range(args.num_trials):
             load_t, infer_t, peak = benchmark_checkpoint(
                 dataset, path, args.batch_size, bf16=args.bf16,
-                data_parallel=args.data_parallel, spatial=args.spatial)
+                data_parallel=args.data_parallel, spatial=args.spatial,
+                dw_impl=args.dw_impl)
             rows.append({
                 "model": os.path.splitext(filename)[0],
                 "trial": trial,

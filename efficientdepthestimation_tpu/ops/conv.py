@@ -7,6 +7,7 @@ weights into HWIO once at load time.
 
 from __future__ import annotations
 
+import contextlib
 import math
 
 import jax
@@ -16,10 +17,65 @@ from jax import lax
 __all__ = [
     "conv2d",
     "depthwise_conv2d",
+    "depthwise_impl",
     "max_pool",
     "avg_pool_global",
     "same_padding_static",
 ]
+
+# Trace-time switch for how channels==groups convs are lowered. "xla" uses
+# the grouped-conv lowering; "shift" expands the conv into per-tap
+# strided-slice × scale FMAs (a pure VPU/bandwidth formulation that dodges
+# XLA's weak TPU grouped-conv emitter — see perf/enb0_encoder_probe.py).
+# Both are numerically exact reorderings of the same sums.
+_DEPTHWISE_IMPL = "xla"
+
+
+@contextlib.contextmanager
+def depthwise_impl(mode: str):
+    """Select the depthwise-conv lowering while tracing a program.
+
+    Usage: trace/jit the forward inside ``with depthwise_impl("shift"):``.
+    The flag is consulted at trace time only; compiled programs are
+    unaffected by later changes.
+    """
+    global _DEPTHWISE_IMPL
+    if mode not in ("xla", "shift"):
+        raise ValueError(f"unknown depthwise impl: {mode!r}")
+    prev = _DEPTHWISE_IMPL
+    _DEPTHWISE_IMPL = mode
+    try:
+        yield
+    finally:
+        _DEPTHWISE_IMPL = prev
+
+
+def _depthwise_shifted(x, kernel, stride, padding):
+    """Depthwise conv as a sum of strided-slice × per-channel-tap products.
+
+    kernel: (kh, kw, 1, C). Exact reordering of the grouped conv's sums —
+    each of the kh·kw taps contributes ``x_shifted * k[di, dj]`` elementwise.
+    """
+    kh, kw, _, _ = kernel.shape
+    (pt, pb), (pl, pr) = padding
+    xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    sh, sw = stride
+    oh = (xp.shape[1] - kh) // sh + 1
+    ow = (xp.shape[2] - kw) // sw + 1
+    taps = kernel[:, :, 0, :]
+    out = None
+    for di in range(kh):
+        for dj in range(kw):
+            sl = lax.slice(
+                xp,
+                (0, di, dj, 0),
+                (xp.shape[0], di + (oh - 1) * sh + 1,
+                 dj + (ow - 1) * sw + 1, xp.shape[3]),
+                (1, sh, sw, 1),
+            )
+            term = sl * taps[di, dj]
+            out = term if out is None else out + term
+    return out
 
 
 def _norm_padding(padding) -> tuple[tuple[int, int], tuple[int, int]]:
@@ -54,6 +110,18 @@ def conv2d(
         dilation = (dilation, dilation)
     if precision is None and x.dtype == jnp.float32:
         precision = lax.Precision.HIGHEST
+    if (
+        _DEPTHWISE_IMPL == "shift"
+        and groups > 1
+        and groups == x.shape[-1]
+        and kernel.shape[2] == 1
+        and kernel.shape[3] == groups
+        and dilation == (1, 1)
+    ):
+        out = _depthwise_shifted(x, kernel, stride, _norm_padding(padding))
+        if bias is not None:
+            out = out + bias
+        return out
     out = lax.conv_general_dilated(
         x,
         kernel,

@@ -104,6 +104,26 @@ def test_tiled_infer_matches_monolithic(workspace):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_dw_shift_serving_matches_default():
+    """The shifted-FMA depthwise lowering (dw_impl="shift") must serve the
+    same depths as the XLA grouped-conv lowering on an EfficientNet model."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import make_infer_fn
+    from efficientdepthestimation_tpu.models import build_model
+
+    model = build_model("efficientnet-b0", "hu2018")
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 76, 104, 3)))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 76, 104, 3)), jnp.float32)
+    ref = make_infer_fn(model, variables)(x)
+    alt = make_infer_fn(model, variables, dw_impl="shift")(x)
+    np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_make_serving_fn_policy_and_equivalence(workspace):
     """make_serving_fn picks staged for wide-top encoders at batch>=128,
     tiled beyond 128, monolithic otherwise — and every path agrees."""

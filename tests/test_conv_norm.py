@@ -60,6 +60,28 @@ def test_depthwise_conv_matches_torch(rng):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("k,stride,pad,bias", [
+    (3, 1, ((1, 1), (1, 1)), False),
+    (5, 1, ((2, 2), (2, 2)), True),
+    (3, 2, ((0, 1), (0, 1)), False),   # ENB0 static-same asymmetric
+    (5, 2, ((1, 2), (1, 2)), True),
+])
+def test_depthwise_shift_impl_matches_xla(rng, k, stride, pad, bias):
+    """depthwise_impl("shift") is an exact reordering of the grouped conv."""
+    c = 6
+    x = jnp.asarray(rng.standard_normal((2, 13, 17, c), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((k, k, 1, c), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(c, dtype=np.float32)) if bias else None
+    ref = C.conv2d(x, w, stride=stride, padding=pad, groups=c, bias=b)
+    with C.depthwise_impl("shift"):
+        alt = C.conv2d(x, w, stride=stride, padding=pad, groups=c, bias=b)
+    np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # flag restores: back to the XLA lowering afterwards
+    again = C.conv2d(x, w, stride=stride, padding=pad, groups=c, bias=b)
+    np.testing.assert_array_equal(np.asarray(again), np.asarray(ref))
+
+
 def test_asymmetric_padding_matches_zeropad2d(rng):
     # efficientnet-pytorch static same padding: ZeroPad2d((left, right, top, bottom))
     x = rng.standard_normal((1, 15, 15, 4), dtype=np.float32)
