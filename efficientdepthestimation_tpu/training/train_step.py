@@ -20,6 +20,7 @@ import optax
 from flax import struct
 
 from efficientdepthestimation_tpu.data.transforms import train_preprocess
+from efficientdepthestimation_tpu.ops.conv import depthwise_impl
 from efficientdepthestimation_tpu.ops.pallas.fused_loss import fused_depth_loss
 from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 from efficientdepthestimation_tpu.training.loss import depth_loss
@@ -100,7 +101,8 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
                     mixed_precision: bool = False,
                     crop_hw: tuple = (228, 304),
                     split_preprocess: bool = False,
-                    state_shardings=None):
+                    state_shardings=None,
+                    dw_impl: str = "xla"):
     """Build the jit'd train step.
 
     ``preprocess=True`` takes raw uint8 batches (image 480×640×3, depth
@@ -131,7 +133,7 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
             use_pallas_loss=use_pallas_loss, preprocess=False,
             pallas_interpret=pallas_interpret, donate=donate,
             mixed_precision=mixed_precision, crop_hw=crop_hw,
-            state_shardings=state_shardings)
+            state_shardings=state_shardings, dw_impl=dw_impl)
 
         @jax.jit
         def pre_step(step, batch, rng):
@@ -175,12 +177,13 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
                     jax.tree_util.tree_map(
                         lambda v: v.astype(jnp.bfloat16)
                         if v.dtype == jnp.float32 else v, params))
-            out, updates = state.apply_fn(
-                {"params": apply_params, "batch_stats": state.batch_stats},
-                images, True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rng_drop},
-            )
+            with depthwise_impl(dw_impl):  # trace-time lowering choice
+                out, updates = state.apply_fn(
+                    {"params": apply_params, "batch_stats": state.batch_stats},
+                    images, True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng_drop},
+                )
             if use_pallas_loss:
                 loss = fused_depth_loss(out, depths, pallas_interpret,
                                         num_valid=num_valid)

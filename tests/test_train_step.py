@@ -50,6 +50,36 @@ def test_train_step_runs_and_updates(rng):
     assert not np.allclose(old_stats, jax.tree_util.tree_leaves(state.batch_stats)[0])
 
 
+@pytest.mark.slow  # two full ENB0 train-step compiles (~9 min on 1 CPU core)
+def test_dw_shift_train_step_matches_default(rng):
+    """dw_impl="shift" (shifted-FMA depthwise lowering) computes the same
+    update as the grouped-conv lowering — same loss and same new params up
+    to float reassociation — on an EfficientNet model (the only family with
+    depthwise convs)."""
+    model = build_model("efficientnet-b0", "hu2018")
+    x = jnp.zeros((2, 64, 96, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((2, 64, 96, 3),
+                                                  dtype=np.float32)),
+        "depth": jnp.asarray(rng.uniform(1, 9, (2, 32, 48, 1)).astype(np.float32)),
+    }
+    results = []
+    for impl in ("xla", "shift"):
+        tx = adam_with_l2(step_lr(1e-3, steps_per_epoch=10), 1e-4)
+        state = create_train_state(model, variables, tx)
+        step = make_train_step(preprocess=False, donate=False, dw_impl=impl)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+        results.append((float(metrics["loss"]),
+                        jax.tree_util.tree_leaves(new_state.params)[0]))
+    assert np.isclose(results[0][0], results[1][0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(results[0][1]),
+                               np.asarray(results[1][1]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_split_preprocess_matches_monolith(rng):
     """split_preprocess=True (two chained programs, the large-batch path)
     derives the same rng streams and computes the same update as the
