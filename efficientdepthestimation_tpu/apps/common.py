@@ -49,6 +49,59 @@ def init_variables(model, input_hw=(228, 304), batch: int = 1, seed: int = 0):
     )
 
 
+def _efficientnet_variant(model):
+    """The encoder's variant string if it is an EfficientNet, else None."""
+    from efficientdepthestimation_tpu.models.efficientnet import (
+        EfficientNetFeatures,
+    )
+
+    fac = getattr(model, "encoder_factory", None)
+    if getattr(fac, "func", None) is EfficientNetFeatures:
+        return fac.keywords.get("variant", "efficientnet-b0")
+    return None
+
+
+def _fused_encoder_apply(model):
+    """An apply-compatible fn running the Pallas fused-MBConv encoder path.
+
+    Only Hu2018 models with EfficientNet encoders qualify (the depthwise
+    hot path lives there); returns None otherwise and callers fall back to
+    ``model.apply``. Semantics pinned equal to the module forward by
+    tests/test_pallas_depthwise.py.
+    """
+    from efficientdepthestimation_tpu.models.efficientnet import (
+        efficientnet_apply_fused,
+    )
+    from efficientdepthestimation_tpu.models.hu2018 import (
+        DecoderD,
+        HuDepthModel,
+        MFF,
+        RefineR,
+    )
+
+    variant = _efficientnet_variant(model)
+    if variant is None or not isinstance(model, HuDepthModel):
+        return None
+
+    def sub(variables, name):
+        out = {"params": variables["params"][name]}
+        if "batch_stats" in variables:
+            out["batch_stats"] = variables["batch_stats"][name]
+        return out
+
+    def apply_fn(variables, images, train: bool = False):
+        taps = efficientnet_apply_fused(sub(variables, "E"), images, variant)
+        x_d = DecoderD(model.num_features).apply(sub(variables, "D"), taps,
+                                                 False)
+        x_mff = MFF().apply(sub(variables, "MFF"), taps, x_d.shape[1:3],
+                            False)
+        return RefineR(model.block_channel[3]).apply(
+            sub(variables, "R"),
+            jnp.concatenate([x_d, x_mff], axis=-1), False)
+
+    return apply_fn
+
+
 def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
                   mesh=None, spatial=False, dw_impl="xla"):
     """jit'd forward on normalized NHWC images; optional output upsample.
@@ -102,6 +155,11 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
     from efficientdepthestimation_tpu.ops.conv import depthwise_impl
 
+    apply_fn = model.apply
+    if dw_impl == "pallas":
+        apply_fn = _fused_encoder_apply(model) or model.apply
+        dw_impl = "xla"
+
     @functools.partial(jax.jit, in_shardings=in_shardings)
     def infer(variables, images):
         if mesh is not None and spatial:
@@ -109,7 +167,7 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
         if dtype is not None:
             images = images.astype(dtype)
         with depthwise_impl(dw_impl):  # trace-time lowering choice
-            out = model.apply(variables, images)
+            out = apply_fn(variables, images)
         out = out.astype(jnp.float32)
         if upsample_to is not None:
             out = resize_bilinear_align_corners(out, upsample_to)
@@ -173,11 +231,19 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
     from efficientdepthestimation_tpu.ops.conv import depthwise_impl
 
+    enc_variant = _efficientnet_variant(model)
+
     @jax.jit
     def run_enc(v, images):
         if dtype is not None:
             images = images.astype(dtype)
-        with depthwise_impl(dw_impl):
+        if dw_impl == "pallas" and enc_variant is not None:
+            from efficientdepthestimation_tpu.models.efficientnet import (
+                efficientnet_apply_fused,
+            )
+
+            return efficientnet_apply_fused(v, images, enc_variant)
+        with depthwise_impl("xla" if dw_impl == "pallas" else dw_impl):
             return enc.apply(v, images, False)
 
     run_d = jax.jit(lambda v, taps: d_mod.apply(v, taps, False))

@@ -81,10 +81,12 @@ def main(args: Optional[List[str]] = None):
                              "across all visible devices (GSPMD conv halo "
                              "exchange) — the latency mode for batches too "
                              "small to data-shard; any batch size works.")
-    parser.add_argument("--dw-impl", default="xla", choices=("xla", "shift"),
-                        help="depthwise-conv lowering for EfficientNet "
-                             "encoders: XLA grouped conv or shifted-FMA "
-                             "(exact; see ops.conv.depthwise_impl).")
+    parser.add_argument("--dw-impl", default="xla",
+                        choices=("xla", "shift", "pallas"),
+                        help="depthwise lowering for EfficientNet encoders: "
+                             "XLA grouped conv, shifted-FMA, or the Pallas "
+                             "fused MBConv hot path (dw+BN+swish+SE-mean in "
+                             "one HBM pass; exact).")
     args = parser.parse_args(args)
 
     dataset = VideoFrameDataset(args.frames_dir)

@@ -34,6 +34,7 @@ from efficientdepthestimation_tpu.ops.conv import same_padding_static
 
 __all__ = [
     "EfficientNetFeatures",
+    "efficientnet_apply_fused",
     "efficientnet_block_channels",
     "efficientnet_stage_splits",
     "EFFICIENTNET_PARAMS",
@@ -177,6 +178,82 @@ class MBConvBlock(nn.Module):
                 x = x / keep * mask
             x = x + inputs
         return x
+
+
+def efficientnet_apply_fused(variables, x, variant: str = "efficientnet-b0",
+                             *, interpret: bool | None = None):
+    """Eval-mode functional forward with the Pallas fused-MBConv hot path.
+
+    Semantically identical to ``EfficientNetFeatures(variant).apply(...,
+    train=False)`` on the SAME variable tree, but each block's
+    depthwise-conv → BatchNorm → swish → SE-mean runs as ONE Pallas VMEM
+    pass (ops.pallas.depthwise): the 6×-expanded activation is read from
+    HBM once instead of four times, and the squeeze-excite mean reuses the
+    kernel's per-channel spatial sums instead of re-reading the output.
+    Expand/project 1×1 convs (the MXU work) and the tiny SE matmuls stay in
+    XLA. Serving-only (no dropout/drop-connect, running BN stats).
+    """
+    from efficientdepthestimation_tpu.ops.pallas.depthwise import (
+        depthwise_bn_swish,
+        fold_bn,
+    )
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    width, depth, res, _ = EFFICIENTNET_PARAMS[variant]
+    stem_out, plan = _block_plan(variant)
+
+    def bn_eval(v, name_p, name_s, eps=1e-3):
+        scale, bias = fold_bn(name_p, name_s, eps)
+        out = v.astype(jnp.float32) * scale + bias
+        return out.astype(v.dtype)
+
+    pad = same_padding_static((res, res), (3, 3), (2, 2))
+    kern = params["_conv_stem"]["kernel"]
+    from efficientdepthestimation_tpu.ops.conv import conv2d
+
+    x = conv2d(x, kern.astype(x.dtype), stride=(2, 2), padding=pad)
+    x = bn_eval(x, params["_bn0"], stats["_bn0"])
+    x = _swish(x)
+
+    splits = set(efficientnet_stage_splits(variant)[1:])
+    taps = []
+    for i, args in enumerate(plan):
+        bp = params[f"_blocks.{i}"]
+        bs = stats[f"_blocks.{i}"]
+        inputs = x
+        if args["expand"] != 1:
+            x = conv2d(x, bp["_expand_conv"]["kernel"].astype(x.dtype),
+                       stride=1, padding=0)
+            x = bn_eval(x, bp["_bn0"], bs["_bn0"])
+            x = _swish(x)
+        dw_pad = same_padding_static(args["image_size"],
+                                     (args["kernel"],) * 2,
+                                     (args["stride"],) * 2)
+        dw_taps = bp["_depthwise_conv"]["kernel"][:, :, 0, :].astype(x.dtype)
+        scale, bias = fold_bn(bp["_bn1"], bs["_bn1"])
+        x, sums = depthwise_bn_swish(x, dw_taps, scale, bias,
+                                     stride=(args["stride"],) * 2,
+                                     padding=dw_pad, interpret=interpret)
+        if args["se"] > 0:
+            mean = (sums / (x.shape[1] * x.shape[2])).astype(x.dtype)
+            sq = mean[:, None, None, :]
+            sq = conv2d(sq, bp["_se_reduce"]["kernel"].astype(x.dtype),
+                        stride=1, padding=0,
+                        bias=bp["_se_reduce"]["bias"].astype(x.dtype))
+            sq = _swish(sq)
+            sq = conv2d(sq, bp["_se_expand"]["kernel"].astype(x.dtype),
+                        stride=1, padding=0,
+                        bias=bp["_se_expand"]["bias"].astype(x.dtype))
+            x = jax.nn.sigmoid(sq) * x
+        x = conv2d(x, bp["_project_conv"]["kernel"].astype(x.dtype),
+                   stride=1, padding=0)
+        x = bn_eval(x, bp["_bn2"], bs["_bn2"])
+        if args["stride"] == 1 and args["cin"] == args["cout"]:
+            x = x + inputs
+        if i + 1 in splits:
+            taps.append(x)
+    return tuple(taps)
 
 
 class EfficientNetFeatures(nn.Module):

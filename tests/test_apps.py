@@ -104,9 +104,10 @@ def test_tiled_infer_matches_monolithic(workspace):
                                    rtol=2e-5, atol=2e-5)
 
 
-def test_dw_shift_serving_matches_default():
-    """The shifted-FMA depthwise lowering (dw_impl="shift") must serve the
-    same depths as the XLA grouped-conv lowering on an EfficientNet model."""
+def test_dw_impl_serving_matches_default():
+    """Every alternative depthwise lowering (shifted-FMA, Pallas fused
+    MBConv) must serve the same depths as the XLA grouped-conv default on an
+    EfficientNet model."""
     import jax
     import jax.numpy as jnp
 
@@ -119,9 +120,10 @@ def test_dw_shift_serving_matches_default():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 76, 104, 3)), jnp.float32)
     ref = make_infer_fn(model, variables)(x)
-    alt = make_infer_fn(model, variables, dw_impl="shift")(x)
-    np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
-                               rtol=2e-5, atol=2e-5)
+    for impl in ("shift", "pallas"):
+        alt = make_infer_fn(model, variables, dw_impl=impl)(x)
+        np.testing.assert_allclose(np.asarray(alt), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=impl)
 
 
 def test_make_serving_fn_policy_and_equivalence(workspace):
