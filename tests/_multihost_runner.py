@@ -55,3 +55,18 @@ result["process_count"] = jax.process_count()
 with open(out_path, "w") as f:
     json.dump(result, f)
 print(f"proc {process_id}: {result}", flush=True)
+
+# Teardown on this 1-core host is racy: jax's atexit distributed shutdown
+# runs a 30 s coordination barrier that trips when the two interpreters
+# exit at different speeds (observed: 1/2 tasks reach the Shutdown
+# barrier). The results this test asserts on are already on disk, so align
+# both processes, attempt one clean shutdown, and hard-exit — a
+# teardown-only race must not fail the run.
+try:
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier("ede_done", 300_000)
+    jax.distributed.shutdown()
+except Exception as exc:  # teardown-only; results already written
+    print(f"proc {process_id}: ignoring teardown race: {exc}", flush=True)
+os._exit(0)

@@ -55,12 +55,33 @@ def run_steps(global_batch_size=4, n_devices=4):
     step = make_train_step(preprocess=False, donate=False)
 
     dataset = SynthDataset(n=10)
+    feds = [
+        {"image": batch["image"], "depth": batch["depth"],
+         "num_valid": jnp.asarray(batch["num_valid"], jnp.int32)}
+        for batch in distributed_batch_iterator(dataset, global_batch_size,
+                                                mesh)
+    ]
+
+    # Compile BEFORE the first cross-process collective executes, then
+    # barrier through the coordination service. Without this, the faster
+    # process reaches the first collective while the other is still
+    # compiling (minutes on this 1-core host) and Gloo's 30 s context-init
+    # key-value timeout trips (observed flake).
+    rng_key = jax.random.PRNGKey(7)
+    run = step
+    if jax.process_count() > 1:
+        run = step.lower(state, feds[0], rng_key).compile()
+        try:
+            from jax._src import distributed
+
+            distributed.global_state.client.wait_at_barrier(
+                "ede_multihost_compiled", 900_000)
+        except Exception:
+            pass  # barrier is best-effort; worst case we re-hit the flake
+
     losses = []
-    for batch in distributed_batch_iterator(dataset, global_batch_size, mesh):
-        state, metrics = step(
-            state, {"image": batch["image"], "depth": batch["depth"],
-                    "num_valid": jnp.asarray(batch["num_valid"], jnp.int32)},
-            jax.random.PRNGKey(7))
+    for fed in feds:
+        state, metrics = run(state, fed, rng_key)
         losses.append(float(metrics["loss"]))
     return {
         "losses": losses,

@@ -80,16 +80,32 @@ def test_two_process_run_matches_single_process(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(os.path.dirname(runner)), os.path.dirname(runner)])
-    procs, outs = [], []
-    for pid in range(2):
-        out = tmp_path / f"proc{pid}.json"
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, runner, str(pid), "2", str(port), str(out)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    for p in procs:
-        stdout, _ = p.communicate(timeout=1200)
-        assert p.returncode == 0, stdout.decode()[-3000:]
+
+    def launch(port):
+        procs, tails = [], []
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable, runner, str(pid), "2", str(port),
+                 str(tmp_path / f"proc{pid}.json")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        for p in procs:
+            stdout, _ = p.communicate(timeout=1200)
+            tails.append(stdout.decode()[-3000:])
+        return [p.returncode for p in procs], tails
+
+    codes, tails = launch(port)
+    if any(codes) and any("DEADLINE_EXCEEDED" in t for t in tails):
+        # Known 1-core-host flake: the two processes drift past a 30 s
+        # Gloo/coordination barrier window under load (compile-time skew).
+        # The runner barriers at compile and exit; one retry covers the rest.
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        codes, tails = launch(port)
+    for code, tail in zip(codes, tails):
+        assert code == 0, tail
+
+    outs = [tmp_path / f"proc{pid}.json" for pid in range(2)]
 
     results = [json.loads(out.read_text()) for out in outs]
     for result in results:
