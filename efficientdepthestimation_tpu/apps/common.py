@@ -13,6 +13,14 @@ __all__ = ["load_any_checkpoint", "make_infer_fn", "make_staged_infer_fn",
            "make_tiled_infer_fn", "make_serving_fn", "init_variables",
            "infer_arch_from_path"]
 
+# Every app imports this module before any backend is created; honoring an
+# explicit JAX_PLATFORMS=cpu here makes `JAX_PLATFORMS=cpu python -m
+# ...apps.<app>` reliable even when a boot hook pins a hardware backend
+# whose transport is down.
+from efficientdepthestimation_tpu.utils.platform import honor_explicit_cpu_request
+
+honor_explicit_cpu_request()
+
 
 def infer_arch_from_path(model_path: str) -> tuple[str, str]:
     """Substring-sniffing fallback (demo.py:25-31): encoder from the path,

@@ -13,6 +13,8 @@ from __future__ import annotations
 import argparse
 import datetime
 import os
+import signal
+import threading
 from typing import List, Optional
 
 import jax
@@ -101,19 +103,55 @@ def parse_args(args: Optional[List[str]] = None):
                         help="Log parameter/gradient histograms every N "
                              "epochs (wandb.watch parity, train.py:134); "
                              "0 disables.")
+    parser.add_argument("--save-every", default=0, type=int,
+                        help="Also checkpoint the full train state every N "
+                             "steps *within* an epoch (0 = per-epoch only). "
+                             "Bounds work lost to a hard kill to N steps; "
+                             "resume is exact either way.")
+    parser.add_argument("--stop-after-steps", default=None, type=int,
+                        help="Deterministically trigger the preemption path "
+                             "after N global steps (testing hook for the "
+                             "SIGTERM handler; exercises the identical "
+                             "save-and-exit code).")
     return parser.parse_args(args=args)
 
 
-def _epoch_batches(dataset, batch_size, mesh, sharding, *, shuffle=False, seed=0):
+# Preemption support: TPU pods surface maintenance events as SIGTERM with a
+# grace window. The handler only sets a flag; the train loop checkpoints the
+# full train state at the next step boundary and exits cleanly, so at most
+# one step's work is lost (vs the reference's manual --start-epoch restart,
+# SURVEY §5 "failure detection: none"). On a pod the signal is delivered to
+# every worker (maintenance events are slice-wide), so all processes take the
+# SPMD save path together.
+_PREEMPTED = threading.Event()
+
+
+def _install_preemption_handler():
+    _PREEMPTED.clear()
+
+    def handler(signum, frame):
+        _PREEMPTED.set()
+        print("\nSIGTERM: checkpointing train state at the next step boundary",
+              flush=True)
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except ValueError:  # not the main thread (e.g. driven from a test runner)
+        pass
+
+
+def _epoch_batches(dataset, batch_size, mesh, sharding, *, shuffle=False,
+                   seed=0, skip_batches=0):
     """Device-resident batches: per-process sharded loading on a multi-host
     mesh (each host decodes only its rows), prefetched host batches otherwise —
     the train/eval loops are identical in both regimes."""
     if jax.process_count() > 1:
         return distributed_batch_iterator(dataset, batch_size, mesh,
-                                          shuffle=shuffle, seed=seed)
+                                          shuffle=shuffle, seed=seed,
+                                          skip_batches=skip_batches)
     return device_prefetch(
         batch_iterator(dataset, batch_size, shuffle=shuffle, seed=seed,
-                       pad_last=True),
+                       pad_last=True, skip_batches=skip_batches),
         sharding=sharding)
 
 
@@ -152,14 +190,22 @@ def main(args: Optional[List[str]] = None):
     tx = adam_with_l2(step_lr(args.lr, steps_per_epoch), args.weight_decay,
                       frozen_prefixes=frozen)
     state = create_train_state(model, variables, tx)
+    resume_epoch, resume_skip = -1, 0
     if args.resume:
         from efficientdepthestimation_tpu.checkpoints.serialization import (
             load_train_state,
         )
 
         state, resume_header = load_train_state(args.resume, state)
-        args.start_epoch = max(args.start_epoch, resume_header["epoch"] + 1)
-        print(f"Resumed from {args.resume} at epoch {args.start_epoch}")
+        resume_skip = int(resume_header.get("step_in_epoch") or 0)
+        if resume_skip:  # mid-epoch save: replay the rest of that epoch
+            resume_epoch = resume_header["epoch"]
+            args.start_epoch = max(args.start_epoch, resume_epoch)
+            print(f"Resumed from {args.resume} at epoch {args.start_epoch} "
+                  f"step {resume_skip} (mid-epoch)")
+        else:
+            args.start_epoch = max(args.start_epoch, resume_header["epoch"] + 1)
+            print(f"Resumed from {args.resume} at epoch {args.start_epoch}")
     state_shardings = None
     if args.zero1:
         state_shardings = zero1_state_shardings(state, mesh)
@@ -195,6 +241,29 @@ def main(args: Optional[List[str]] = None):
     rng = jax.random.PRNGKey(args.seed)
     sharding = data_sharding(mesh)
 
+    _install_preemption_handler()
+    from efficientdepthestimation_tpu.checkpoints.serialization import (
+        save_train_state,
+    )
+    rolling_path = os.path.join(logger.dir, "train_state.ede")
+
+    def save_rolling(state, epoch, step_in_epoch=None):
+        """Rolling full-train-state checkpoint (exact resume). SPMD-safe:
+        the ZeRO gather runs on every process, only process 0 writes."""
+        state_to_save = state
+        if args.zero1 and jax.process_count() > 1:
+            # ZeRO-sharded moments aren't process-addressable on a pod;
+            # all-gather them SPMD (every process participates) so the
+            # process-0 write below sees whole arrays
+            gather = jax.jit(lambda t: t,
+                             out_shardings=replicated_sharding(mesh))
+            state_to_save = state.replace(opt_state=gather(state.opt_state))
+        if is_main:
+            save_train_state(rolling_path, state_to_save,
+                             encoder=args.encoder, decoder=args.decoder,
+                             epoch=epoch, step_in_epoch=step_in_epoch)
+        return rolling_path
+
     training_timer, test_timer, inference_timer = Timer(), Timer(), Timer()
 
     for epoch in range(args.start_epoch, args.epochs):
@@ -202,8 +271,19 @@ def main(args: Optional[List[str]] = None):
         print(f"Epoch {epoch + 1:02d}/{args.epochs:02d} - Total Elapsed Time: {elapsed}")
 
         with training_timer:
-            state, train_metrics = run_train_epoch(
-                state, train_step, train_ds, batch_size, mesh, sharding, rng, epoch)
+            state, train_metrics, preempted = run_train_epoch(
+                state, train_step, train_ds, batch_size, mesh, sharding, rng,
+                epoch,
+                skip_batches=resume_skip if epoch == resume_epoch else 0,
+                save_every=args.save_every,
+                checkpoint_cb=save_rolling,
+                stop_after_steps=args.stop_after_steps)
+        if preempted:
+            if is_main:
+                print(f"Preempted at epoch {epoch}: exact train state saved "
+                      f"to {rolling_path}; continue with --resume")
+            logger.finish()
+            return rolling_path
 
         with test_timer:
             metrics = run_eval_epoch(state, eval_step, test_ds, batch_size, mesh,
@@ -221,22 +301,7 @@ def main(args: Optional[List[str]] = None):
                                     encoder=args.encoder, decoder=args.decoder)
 
         # rolling full train-state checkpoint for exact resume (--resume)
-        from efficientdepthestimation_tpu.checkpoints.serialization import (
-            save_train_state,
-        )
-
-        state_to_save = state
-        if args.zero1 and jax.process_count() > 1:
-            # ZeRO-sharded moments aren't process-addressable on a pod;
-            # all-gather them SPMD (every process participates) so the
-            # process-0 write below sees whole arrays
-            gather = jax.jit(lambda t: t,
-                             out_shardings=replicated_sharding(mesh))
-            state_to_save = state.replace(opt_state=gather(state.opt_state))
-        if is_main:
-            save_train_state(os.path.join(logger.dir, "train_state.ede"),
-                             state_to_save, encoder=args.encoder,
-                             decoder=args.decoder, epoch=epoch)
+        save_rolling(state, epoch)
 
         # example depth images from the first test batch (train.py:163-177);
         # batch_iterator is deterministic so every process holds identical
@@ -327,7 +392,8 @@ def _replicate_global(x, mesh):
 
 
 def run_train_epoch(state, train_step, dataset, batch_size, mesh, sharding,
-                    rng, epoch):
+                    rng, epoch, *, skip_batches=0, save_every=0,
+                    checkpoint_cb=None, stop_after_steps=None):
     """One training epoch with *asynchronous* metric reporting.
 
     The device_get of a step's metrics happens only after the *next* step has
@@ -335,13 +401,23 @@ def run_train_epoch(state, train_step, dataset, batch_size, mesh, sharding,
     (VERDICT round-1, Weak #2) — the progress line always shows the previous
     step's numbers, one step behind, exactly like a double-buffered meter.
     pad_last duplicates are masked inside the step via ``num_valid``.
+
+    Preemption/periodic checkpointing: ``checkpoint_cb(state, epoch,
+    step_in_epoch)`` is invoked every ``save_every`` steps, and at the next
+    step boundary after SIGTERM (or after ``stop_after_steps`` global steps —
+    the deterministic test hook for the same path). Returns ``(state,
+    metrics, preempted)``; a mid-epoch exit is exact because the shuffle is
+    seeded by ``epoch`` and the step rng by ``state.step``.
     """
     is_main = jax.process_index() == 0
     tracker = MetricsTracker()
     loss_sum, loss_n = 0.0, 0
-    epoch_start, seen = datetime.datetime.now(), 0
+    epoch_start = datetime.datetime.now()
+    seen = min(skip_batches * batch_size, len(dataset))
+    start_step = int(state.step)  # one host sync per epoch, not per step
     batches = _epoch_batches(dataset, batch_size, mesh, sharding,
-                             shuffle=True, seed=epoch)
+                             shuffle=True, seed=epoch,
+                             skip_batches=skip_batches)
     pending = None  # metrics of the step before the one just dispatched
 
     def drain(pending):
@@ -357,20 +433,34 @@ def run_train_epoch(state, train_step, dataset, batch_size, mesh, sharding,
                   f"Loss: {host['loss']:.3f} (Avg.: {loss_sum / loss_n:.3f}) - "
                   f"{tracker}", end="")
 
+    steps_done = skip_batches
     for batch in batches:
         state, metrics = train_step(
             state, {"image": batch["image"], "depth": batch["depth"],
                     "num_valid": jnp.asarray(batch["num_valid"], jnp.int32)},
             jax.random.fold_in(rng, epoch))
         seen += int(batch["num_valid"])
+        steps_done += 1
         if pending is not None:
             drain(pending)
         pending = metrics
+
+        stop = _PREEMPTED.is_set() or (
+            stop_after_steps is not None
+            and start_step + (steps_done - skip_batches) >= stop_after_steps)
+        if checkpoint_cb is not None and (
+                stop or (save_every and steps_done % save_every == 0)):
+            checkpoint_cb(state, epoch, steps_done)
+        if stop:
+            drain(pending)
+            if is_main:
+                print()
+            return state, {"loss": loss_sum / max(loss_n, 1)}, True
     if pending is not None:
         drain(pending)
     if is_main:
         print()
-    return state, {"loss": loss_sum / max(loss_n, 1)}
+    return state, {"loss": loss_sum / max(loss_n, 1)}, False
 
 
 def run_eval_epoch(state, eval_step, dataset, batch_size, mesh, sharding,

@@ -19,6 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from efficientdepthestimation_tpu.utils.platform import honor_explicit_cpu_request
+
+honor_explicit_cpu_request()
+
 from efficientdepthestimation_tpu.benchmark.metrics import VisualMetricsTracker
 from efficientdepthestimation_tpu.ops.resize import resize_bilinear_align_corners
 from efficientdepthestimation_tpu.training.metrics import (

@@ -137,10 +137,17 @@ def load_midas(path_or_file):
 
 
 def save_train_state(path_or_file, state, *, encoder: str, decoder: str,
-                     epoch: int) -> None:
+                     epoch: int, step_in_epoch=None) -> None:
     """Full training-state checkpoint (params + BN stats + optimizer + step)
     for exact resume — richer than the reference's weights-only restart
-    (``--start-epoch`` + manual reload, SURVEY §5 checkpoint/resume)."""
+    (``--start-epoch`` + manual reload, SURVEY §5 checkpoint/resume).
+
+    ``step_in_epoch``: set for a *mid-epoch* (preemption/--save-every) save —
+    the number of batches of ``epoch`` already applied. Resume then replays
+    the rest of that epoch (deterministic shuffle + step-keyed rng make the
+    continuation bit-identical to an uninterrupted run). ``None`` means the
+    epoch completed and resume starts at ``epoch + 1``.
+    """
     header = {
         "format": "train-state",
         "encoder": encoder,
@@ -149,6 +156,8 @@ def save_train_state(path_or_file, state, *, encoder: str, decoder: str,
         "step": int(state.step),
         "version": MIDAS_CHECKPOINT_VERSION,
     }
+    if step_in_epoch is not None:
+        header["step_in_epoch"] = int(step_in_epoch)
     payload = {
         "params": state.params,
         "batch_stats": state.batch_stats,

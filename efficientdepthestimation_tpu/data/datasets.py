@@ -124,15 +124,20 @@ def batch_iterator(
     num_workers: int = 4,
     drop_last: bool = False,
     pad_last: bool = False,
+    skip_batches: int = 0,
 ) -> Iterator[dict]:
     """Yield stacked numpy batches, decoding files on a thread pool.
 
     ``pad_last`` repeats the final sample so every batch has a static shape
     (jit-friendly); the true count is reported as ``num_valid``.
+    ``skip_batches`` fast-forwards past the first N batches without decoding
+    them — with the same (shuffle, seed) the remaining batches are identical
+    to a full pass, which is what exact mid-epoch resume needs.
     """
     indices = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(indices)
+    indices = indices[skip_batches * batch_size:]
 
     def fetch(i):
         return dataset[int(i)]

@@ -104,6 +104,7 @@ def distributed_batch_iterator(
     seed: int = 0,
     num_workers: int = 4,
     pad_last: bool = True,
+    skip_batches: int = 0,
 ) -> Iterator[dict]:
     """Yield globally-sharded batches, each process decoding only its rows.
 
@@ -111,13 +112,16 @@ def distributed_batch_iterator(
     processes (every host derives the same permutation), so row ownership is
     consistent without communication — the multi-host generalization of
     ``batch_iterator``'s contract. ``num_valid`` is the true global count
-    (trailing pad_last duplicates are masked downstream).
+    (trailing pad_last duplicates are masked downstream). ``skip_batches``
+    fast-forwards past the first N global batches without decoding (exact
+    mid-epoch resume; deterministic, so every process skips identically).
     """
     import concurrent.futures as cf
 
     indices = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(indices)
+    indices = indices[skip_batches * global_batch_size:]
     local_rows = process_local_rows(mesh, global_batch_size)
     native_loader = getattr(dataset, "load_batch", None)
 
