@@ -104,6 +104,7 @@ def test_tiled_infer_matches_monolithic(workspace):
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_dw_impl_serving_matches_default():
     """Every alternative depthwise lowering (shifted-FMA, Pallas fused
     MBConv) must serve the same depths as the XLA grouped-conv default on an

@@ -46,6 +46,7 @@ def test_kernel_matches_unfused(rng, k, stride, c, hw):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_encoder_matches_module(rng):
     """efficientnet_apply_fused (Pallas fused-MBConv hot path) reproduces
     EfficientNetFeatures.apply exactly on the same randomized variable tree,

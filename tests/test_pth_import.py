@@ -40,6 +40,7 @@ def _forward_torch(model, x_nchw):
         return model(torch.from_numpy(x_nchw)).numpy()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("module_prefix", [False, True])
 def test_rn50_hu_checkpoint_parity(rng, module_prefix):
     tm = randomize_bn_stats(
@@ -94,6 +95,7 @@ def test_state_dict_round_trip_midas():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_state_dict_round_trip_senet_hu():
     model = build_model("senet154", "hu2018")
     x = jnp.zeros((1, 64, 96, 3))

@@ -33,6 +33,7 @@ def _batch(rng):
     }
 
 
+@pytest.mark.slow
 def test_train_state_resume_round_trip(tmp_path, rng):
     model, state = _state()
     step = make_train_step(preprocess=False, donate=False)
