@@ -33,7 +33,38 @@ WARMUP = 3
 ITERS = 10
 
 
+def _arm_watchdog(seconds: float):
+    """Print an honest zero-result JSON line and exit if the run wedges.
+
+    The TPU is reached through a tunnel that has multi-hour outages; backend
+    init then blocks indefinitely (no error). A hung bench records nothing —
+    worse than a zero with an explanation. Returns an Event to set on
+    success, which disarms the watchdog.
+    """
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "enb0_hu_e2e_640x480_inference",
+                "value": 0.0,
+                "unit": "frames/s/chip",
+                "vs_baseline": 0.0,
+                "notes": f"TPU backend unavailable (no result in {seconds:.0f}s"
+                         " — tunnel outage); rerun when the device is back",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main() -> None:
+    watchdog_done = _arm_watchdog(1800.0)
+
     from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -91,6 +122,7 @@ def main() -> None:
     # happen to be visible. Weights are random bf16 — a pure throughput
     # measurement, not an accuracy run (noted in the JSON).
     fps_per_chip = BATCH * ITERS / dt
+    watchdog_done.set()
     print(json.dumps({
         "metric": "enb0_hu_e2e_640x480_inference",
         "value": round(fps_per_chip, 2),
