@@ -1,0 +1,237 @@
+"""On-device serving autotuner: measure every serving variant, cache the winner.
+
+``make_serving_fn``'s built-in policy encodes numbers measured on one v5e
+chip (PERFORMANCE.md). Other topologies — new TPU generations, different
+HBM/VMEM ratios, CPU dev boxes — can rank the serving paths differently, and
+hand-porting the policy table is exactly the kind of guesswork this repo's
+perf methodology exists to avoid. ``autotune_serving`` measures every
+applicable (path × depthwise-lowering) candidate ON THE CURRENT DEVICE with
+the repo's honest timing (post-window fetch of a scalar checksum of every
+output — ``block_until_ready`` alone does not fence completion through the
+axon tunnel) and caches the winner in a JSON policy file keyed by
+(device kind, model, batch, dtype). ``make_serving_fn(policy_path=...)``
+then dispatches from the cache, falling back to the built-in heuristic for
+unmeasured keys.
+
+Candidates mirror the serving factories (apps/common.py):
+  * monolithic        — one jit program (``make_infer_fn``)
+  * staged            — encoder → D → MFF → R chained jits (Hu models only)
+  * tiled / tiled-staged — batch-tiled over the base (batch > tile only)
+× depthwise lowerings xla / shift / pallas (EfficientNet encoders only).
+
+CLI:  python -m efficientdepthestimation_tpu.apps.autotune \
+          --encoder efficientnet-b0 --decoder hu2018 --batch 128 --bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientdepthestimation_tpu.apps.common import (
+    _efficientnet_variant,
+    make_infer_fn,
+    make_staged_infer_fn,
+    make_tiled_infer_fn,
+)
+
+__all__ = ["autotune_serving", "load_policy", "policy_key",
+           "DEFAULT_POLICY_PATH"]
+
+DEFAULT_POLICY_PATH = os.path.join("runs", "serving_policy.json")
+TILE_BATCH = 128
+
+
+def _model_id(model) -> str:
+    """Stable identity string: decoder class + encoder variant."""
+    fac = getattr(model, "encoder_factory", None)
+    enc = None
+    if fac is not None:
+        kw = getattr(fac, "keywords", None) or {}
+        enc = kw.get("variant") or getattr(
+            getattr(fac, "func", fac), "__name__", None)
+    return f"{type(model).__name__}:{enc or 'unknown'}"
+
+
+def policy_key(model, batch: int, dtype) -> str:
+    device_kind = jax.devices()[0].device_kind.replace(" ", "_")
+    dt = jnp.dtype(dtype).name if dtype is not None else "float32"
+    return f"{device_kind}|{_model_id(model)}|b{batch}|{dt}"
+
+
+def load_policy(path: str = DEFAULT_POLICY_PATH) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _serving_candidates(model, batch: int):
+    """(name, builder_kwargs) for every path×lowering valid for this model."""
+    from efficientdepthestimation_tpu.models.hu2018 import HuDepthModel
+
+    dws = ["xla"]
+    if _efficientnet_variant(model) is not None:
+        dws += ["shift", "pallas"]
+    is_hu = isinstance(model, HuDepthModel)
+
+    cands = []
+    for dw in dws:
+        cands.append((f"monolithic/{dw}", dict(path="monolithic", dw_impl=dw)))
+        if is_hu:
+            cands.append((f"staged/{dw}", dict(path="staged", dw_impl=dw)))
+        if batch > TILE_BATCH:
+            cands.append((f"tiled/{dw}", dict(path="tiled", dw_impl=dw)))
+            if is_hu:
+                cands.append((f"tiled-staged/{dw}",
+                              dict(path="tiled-staged", dw_impl=dw)))
+    return cands
+
+
+def build_serving_candidate(model, variables, spec: dict, *,
+                            upsample_to=None, dtype=None):
+    path, dw = spec["path"], spec["dw_impl"]
+    if path == "monolithic":
+        return make_infer_fn(model, variables, upsample_to=upsample_to,
+                             dtype=dtype, dw_impl=dw)
+    if path == "staged":
+        return make_staged_infer_fn(model, variables, upsample_to=upsample_to,
+                                    dtype=dtype, dw_impl=dw)
+    if path == "tiled":
+        return make_tiled_infer_fn(model, variables, staged=False,
+                                   tile_batch=TILE_BATCH,
+                                   upsample_to=upsample_to, dtype=dtype,
+                                   dw_impl=dw)
+    if path == "tiled-staged":
+        return make_tiled_infer_fn(model, variables, staged=True,
+                                   tile_batch=TILE_BATCH,
+                                   upsample_to=upsample_to, dtype=dtype,
+                                   dw_impl=dw)
+    raise ValueError(f"unknown serving path {path!r}")
+
+
+def _timed_fps(fn, images, batch: int, *, warmup: int = 2, iters: int = 5):
+    """Throughput with forced completion: the timing window closes on a host
+    fetch of one scalar that depends on EVERY call's output (TPU executes
+    in order, but a sum over all outputs makes no ordering assumption)."""
+    outs = [fn(images)]
+    jax.block_until_ready(outs[0])
+    for _ in range(warmup):
+        outs.append(fn(images))
+    float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+
+    t0 = time.perf_counter()
+    outs = [fn(images) for _ in range(iters)]
+    checksum = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+    dt = time.perf_counter() - t0
+    if not np.isfinite(checksum):
+        raise FloatingPointError(f"non-finite serving output ({checksum})")
+    return batch * iters / dt
+
+
+def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
+                     upsample_to=None, dtype=None,
+                     policy_path: Optional[str] = DEFAULT_POLICY_PATH,
+                     warmup: int = 2, iters: int = 5, verbose: bool = True):
+    """Measure all candidates, cache the winner, return (fn, policy_entry).
+
+    Measurement inputs are generated ON DEVICE (host→device uploads through
+    the tunnel run at ~MB/s; a big ``jnp.asarray`` upload would dominate).
+    """
+    h, w = crop_hw
+    # f32 inputs — what the production preprocess feeds the serving fns
+    # (each fn casts internally when dtype=bf16), so the measured program is
+    # the production program.
+    images = jax.jit(
+        lambda k: jax.random.normal(k, (batch, h, w, 3), jnp.float32)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(images)
+
+    results = []
+    for name, spec in _serving_candidates(model, batch):
+        try:
+            fn = build_serving_candidate(model, variables, spec,
+                                         upsample_to=upsample_to, dtype=dtype)
+            fps = _timed_fps(fn, images, batch, warmup=warmup, iters=iters)
+            results.append({"candidate": name, **spec,
+                            "fps": round(fps, 2)})
+            if verbose:
+                print(f"  {name:>22}: {fps:8.1f} img/s", flush=True)
+        except Exception as exc:  # candidate invalid on this backend — skip
+            results.append({"candidate": name, **spec, "fps": None,
+                            "error": f"{type(exc).__name__}: {exc}"[:200]})
+            if verbose:
+                print(f"  {name:>22}: failed ({type(exc).__name__})",
+                      flush=True)
+
+    ok = [r for r in results if r["fps"]]
+    if not ok:
+        raise RuntimeError(f"every serving candidate failed: {results}")
+    best = max(ok, key=lambda r: r["fps"])
+    entry = {"path": best["path"], "dw_impl": best["dw_impl"],
+             "fps": best["fps"], "measured": results}
+
+    if policy_path:
+        policy = load_policy(policy_path)
+        policy[policy_key(model, batch, dtype)] = entry
+        os.makedirs(os.path.dirname(policy_path) or ".", exist_ok=True)
+        with open(policy_path, "w") as f:
+            json.dump(policy, f, indent=2)
+
+    fn = build_serving_candidate(model, variables,
+                                 {"path": best["path"],
+                                  "dw_impl": best["dw_impl"]},
+                                 upsample_to=upsample_to, dtype=dtype)
+    return fn, entry
+
+
+def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.apps.common import init_variables
+    from efficientdepthestimation_tpu.models import build_model
+    from efficientdepthestimation_tpu.utils.jitcache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+    parser = argparse.ArgumentParser(
+        description="Measure serving variants on this device; cache winner")
+    parser.add_argument("--encoder", default="efficientnet-b0")
+    parser.add_argument("--decoder", default="hu2018",
+                        choices=("hu2018", "lasinger2019"))
+    parser.add_argument("--batch", default=128, type=int)
+    parser.add_argument("--crop-hw", nargs=2, type=int, default=[228, 304])
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--iters", default=5, type=int)
+    parser.add_argument("--policy", default=DEFAULT_POLICY_PATH)
+    ns = parser.parse_args(args=args)
+
+    crop = tuple(ns.crop_hw)
+    if ns.decoder == "lasinger2019":
+        model = build_model(ns.encoder, ns.decoder, input_size=crop,
+                            output_size=(crop[0] // 2, crop[1] // 2))
+    else:
+        model = build_model(ns.encoder, ns.decoder)
+    variables = init_variables(model, crop)
+    dtype = jnp.bfloat16 if ns.bf16 else None
+
+    print(f"autotuning {_model_id(model)} batch={ns.batch} "
+          f"on {jax.devices()[0].device_kind}")
+    _, entry = autotune_serving(model, variables, ns.batch, crop_hw=crop,
+                                dtype=dtype, policy_path=ns.policy,
+                                iters=ns.iters)
+    print(json.dumps({"winner": {k: entry[k] for k in
+                                 ("path", "dw_impl", "fps")},
+                      "policy": ns.policy}))
+    return entry
+
+
+if __name__ == "__main__":
+    main()

@@ -324,8 +324,14 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
 
 
 def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
-                    dtype=None, mesh=None, spatial=False, dw_impl="xla"):
+                    dtype=None, mesh=None, spatial=False, dw_impl="xla",
+                    policy_path=None):
     """Pick the fastest measured serving path for (model, batch) automatically.
+
+    ``policy_path``: a JSON policy written by ``apps.autotune`` — per-device
+    measured winners. When the (device, model, batch, dtype) key is present
+    it overrides the static policy below (which encodes one v5e chip's
+    numbers and may mis-rank other topologies).
 
     Policy (all numbers measured on a v5e chip, 640×480 e2e,
     perf/staged_sweep_results.jsonl):
@@ -350,6 +356,21 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
         return make_infer_fn(model, variables, upsample_to=upsample_to,
                              dtype=dtype, mesh=mesh, spatial=spatial,
                              dw_impl=dw_impl)
+
+    if policy_path:
+        from efficientdepthestimation_tpu.apps.autotune import (
+            build_serving_candidate,
+            load_policy,
+            policy_key,
+        )
+
+        entry = load_policy(policy_path).get(
+            policy_key(model, batch_hint, dtype))
+        if entry is not None:
+            return build_serving_candidate(
+                model, variables,
+                {"path": entry["path"], "dw_impl": entry["dw_impl"]},
+                upsample_to=upsample_to, dtype=dtype)
 
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
     staged = wide_top and batch_hint >= 128

@@ -29,7 +29,8 @@ from efficientdepthestimation_tpu.utils import Timer
 
 def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
                          bf16: bool = False, data_parallel: bool = False,
-                         spatial: bool = False, dw_impl: str = "xla"):
+                         spatial: bool = False, dw_impl: str = "xla",
+                         policy: str | None = None):
     loading_timer = Timer()
     with loading_timer:
         model, variables = load_any_checkpoint(model_path)
@@ -51,7 +52,8 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
                 infer = make_serving_fn(model, variables, upsample_to=(h, w),
                                         dtype=jnp.bfloat16 if bf16 else None,
                                         mesh=mesh, batch_hint=batch_size,
-                                        spatial=spatial, dw_impl=dw_impl)
+                                        spatial=spatial, dw_impl=dw_impl,
+                                        policy_path=policy)
             images = eval_preprocess_image_only(frames)
             last = infer(images)
         if last is not None:
@@ -87,6 +89,10 @@ def main(args: Optional[List[str]] = None):
                              "XLA grouped conv, shifted-FMA, or the Pallas "
                              "fused MBConv hot path (dw+BN+swish+SE-mean in "
                              "one HBM pass; exact).")
+    parser.add_argument("--policy", default=None, type=str,
+                        help="serving-policy JSON from apps.autotune; "
+                             "measured per-device winners override the "
+                             "static path/lowering selection.")
     args = parser.parse_args(args)
 
     dataset = VideoFrameDataset(args.frames_dir)
@@ -102,7 +108,7 @@ def main(args: Optional[List[str]] = None):
             load_t, infer_t, peak = benchmark_checkpoint(
                 dataset, path, args.batch_size, bf16=args.bf16,
                 data_parallel=args.data_parallel, spatial=args.spatial,
-                dw_impl=args.dw_impl)
+                dw_impl=args.dw_impl, policy=args.policy)
             rows.append({
                 "model": os.path.splitext(filename)[0],
                 "trial": trial,

@@ -1,0 +1,81 @@
+"""Serving autotuner: candidate enumeration, measurement, policy dispatch."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from efficientdepthestimation_tpu.apps.autotune import (
+    _serving_candidates,
+    autotune_serving,
+    load_policy,
+    policy_key,
+)
+from efficientdepthestimation_tpu.apps.common import (
+    init_variables,
+    make_infer_fn,
+    make_serving_fn,
+)
+from efficientdepthestimation_tpu.models import build_model
+
+
+def test_candidate_enumeration_covers_paths_and_lowerings():
+    enb0 = build_model("efficientnet-b0", "hu2018")
+    names = [n for n, _ in _serving_candidates(enb0, 256)]
+    # 3 lowerings x {monolithic, staged, tiled, tiled-staged}
+    assert len(names) == 12
+    assert "monolithic/pallas" in names and "tiled-staged/shift" in names
+
+    rn18 = build_model("resnet18", "hu2018")
+    names = [n for n, _ in _serving_candidates(rn18, 8)]
+    # no EfficientNet lowerings, batch <= tile -> no tiled variants
+    assert names == ["monolithic/xla", "staged/xla"]
+
+    midas = build_model("resnet18", "lasinger2019", input_size=(64, 96),
+                        output_size=(32, 48))
+    names = [n for n, _ in _serving_candidates(midas, 8)]
+    assert names == ["monolithic/xla"]  # staged path is Hu-only
+
+
+def test_autotune_measures_caches_and_dispatches(tmp_path):
+    model = build_model("resnet18", "hu2018")
+    variables = init_variables(model, (64, 96))
+    policy_path = str(tmp_path / "policy.json")
+
+    fn, entry = autotune_serving(model, variables, 4, crop_hw=(64, 96),
+                                 policy_path=policy_path, warmup=0, iters=1,
+                                 verbose=False)
+    assert entry["path"] in ("monolithic", "staged")
+    assert entry["dw_impl"] == "xla"
+    assert entry["fps"] and entry["fps"] > 0
+    # every candidate was attempted and recorded
+    assert [r["candidate"] for r in entry["measured"]] == [
+        "monolithic/xla", "staged/xla"]
+
+    policy = load_policy(policy_path)
+    key = policy_key(model, 4, None)
+    assert policy[key]["path"] == entry["path"]
+
+    # make_serving_fn dispatches from the cache and stays exact
+    images = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 64, 96, 3),
+                                                 dtype=np.float32))
+    served = np.asarray(make_serving_fn(model, variables, batch_hint=4,
+                                        policy_path=policy_path)(images))
+    reference = np.asarray(make_infer_fn(model, variables)(images))
+    np.testing.assert_allclose(served, reference, atol=1e-5)
+
+    # unmeasured key (different batch) falls back to the built-in heuristic
+    fallback = make_serving_fn(model, variables, batch_hint=2,
+                               policy_path=policy_path)
+    assert np.isfinite(np.asarray(fallback(images[:2]))).all()
+
+
+def test_load_policy_missing_or_corrupt(tmp_path):
+    assert load_policy(str(tmp_path / "nope.json")) == {}
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert load_policy(str(bad)) == {}
