@@ -41,6 +41,8 @@ def main(args: Optional[List[str]] = None):
     parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)
     parser.add_argument("-b", "--batch-size", default=8, type=int)
     parser.add_argument("-o", "--output-dir", default="nyu_depth_out", type=str)
+    parser.add_argument("--policy", default=None, type=str,
+                        help="serving-policy JSON from apps.autotune")
     args = parser.parse_args(args)
 
     dataset = DepthPairDataset(args.test_csv, is_test=True)
@@ -53,7 +55,8 @@ def main(args: Optional[List[str]] = None):
         model, variables = load_any_checkpoint(
             os.path.join(args.checkpoint_dir, filename))
         infer = make_serving_fn(model, variables, upsample_to=(480, 640),
-                                batch_hint=args.batch_size)
+                                batch_hint=args.batch_size,
+                                policy_path=args.policy)
 
         index = 0
         with AsyncImageWriter() as writer:
