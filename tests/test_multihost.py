@@ -57,6 +57,24 @@ def test_distributed_iterator_matches_batch_iterator_single_process():
         assert len(got["image"].sharding.device_set) == 4
 
 
+def test_distributed_iterator_skip_batches_matches_tail():
+    """Mid-epoch resume contract: skipping N batches yields exactly the
+    batches a full pass would have produced from position N (same shuffle
+    seed), for both iterators."""
+    mesh = create_mesh(4)
+    dataset = SynthDataset(n=10)
+    for it, kwargs in ((distributed_batch_iterator, dict(mesh=mesh)),
+                       (batch_iterator, dict(pad_last=True))):
+        full = list(it(dataset, 4, shuffle=True, seed=3, **kwargs))
+        tail = list(it(dataset, 4, shuffle=True, seed=3, skip_batches=1,
+                       **kwargs))
+        assert len(tail) == len(full) - 1
+        for ref, got in zip(full[1:], tail):
+            assert got["num_valid"] == ref["num_valid"]
+            np.testing.assert_array_equal(np.asarray(got["image"]),
+                                          np.asarray(ref["image"]))
+
+
 def test_make_global_batch_shards_data_axis():
     mesh = create_mesh(8)
     batch = make_global_batch(
