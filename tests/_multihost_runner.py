@@ -62,10 +62,10 @@ print(f"proc {process_id}: {result}", flush=True)
 # barrier). The results this test asserts on are already on disk, so align
 # both processes, attempt one clean shutdown, and hard-exit — a
 # teardown-only race must not fail the run.
-try:
-    from jax._src import distributed
+from multihost_common import coord_barrier  # noqa: E402
 
-    distributed.global_state.client.wait_at_barrier("ede_done", 300_000)
+try:
+    coord_barrier("ede_done", 300_000)
     jax.distributed.shutdown()
 except Exception as exc:  # teardown-only; results already written
     print(f"proc {process_id}: ignoring teardown race: {exc}", flush=True)

@@ -8,6 +8,25 @@ import jax
 import numpy as np
 
 
+def coord_barrier(name: str, timeout_ms: int = 900_000) -> None:
+    """Best-effort coordination-service barrier across the processes.
+
+    On this 1-core host the two test processes drift by minutes (model init
+    and compiles are serialized by the scheduler), while Gloo's lazy
+    context-init window at the FIRST cross-process collective is only 30 s.
+    Barriering through the coordination service (whose timeout we control)
+    right before each first-of-a-kind collective keeps both processes inside
+    Gloo's window. No-op single-process or on any error."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+    except Exception:
+        pass
+
+
 class SynthDataset:
     """10 deterministic (image, depth) pairs; no file I/O."""
 
@@ -51,6 +70,10 @@ def run_steps(global_batch_size=4, n_devices=4):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x)
     tx = adam_with_l2(step_lr(1e-3, steps_per_epoch=10), 1e-4)
     state = create_train_state(model, variables, tx)
+    # the replicated device_put below is the FIRST cross-process collective
+    # (jax verifies replicated values via a process allgather) — align both
+    # processes before Gloo context init
+    coord_barrier("ede_init_done")
     state = jax.device_put(state, replicated_sharding(mesh))
     step = make_train_step(preprocess=False, donate=False)
 
@@ -71,13 +94,7 @@ def run_steps(global_batch_size=4, n_devices=4):
     run = step
     if jax.process_count() > 1:
         run = step.lower(state, feds[0], rng_key).compile()
-        try:
-            from jax._src import distributed
-
-            distributed.global_state.client.wait_at_barrier(
-                "ede_multihost_compiled", 900_000)
-        except Exception:
-            pass  # barrier is best-effort; worst case we re-hit the flake
+        coord_barrier("ede_multihost_compiled")
 
     losses = []
     for fed in feds:
