@@ -53,13 +53,34 @@ def fold_bn(bn_params, bn_stats, eps: float = 1e-3):
     return inv, beta - mean * inv
 
 
-def _pick_channel_tile(c: int, px_in: int, px_out: int) -> int:
-    """Largest channel tile whose f32 working set stays well under VMEM."""
-    budget = 3_000_000  # bytes per buffered operand set (double-buffered)
-    for ct in (256, 128, 96, 64, 48, 32, 16, 8):
-        if c % ct == 0 and (px_in + px_out) * 4 * ct <= budget:
-            return ct
-    return min(c, 8)
+def _pick_channel_tile(c: int, px_in: int, px_out: int) -> int | None:
+    """Largest *TPU-legal* channel tile whose f32 working set fits VMEM.
+
+    Mosaic requires the last block dim to equal the array's channel count
+    or be a multiple of the 128-lane width; anything else (e.g. 16 of 32)
+    fails lowering on real hardware. The (px_in+px_out)·4·ct estimate runs
+    ~3.7× under Mosaic's scoped-VMEM accounting (padded f32 copy, tap
+    temporaries, double-buffered in/out blocks): a 4.5 MB estimate was
+    measured at 16.92 MB scoped vs the 16 MB limit, so 3 MB here ≈ 12 MB
+    real. Returns None when no legal tile fits — the caller falls back to
+    the XLA lowering for that site.
+    """
+    budget = 3_000_000
+    legal = [c] + [t for t in (512, 384, 256, 128) if t < c and c % t == 0]
+    fitting = [ct for ct in legal if (px_in + px_out) * 4 * ct <= budget]
+    return max(fitting) if fitting else None
+
+
+def _xla_fallback(x, taps, scale, bias, *, stride, padding):
+    """Same (y, sums) contract via plain XLA ops, for kernel-ineligible sites."""
+    from efficientdepthestimation_tpu.ops.conv import depthwise_conv2d
+
+    y = depthwise_conv2d(x, taps[:, :, None, :].astype(x.dtype),
+                         stride=stride, padding=padding)
+    y = y.astype(jnp.float32) * scale.astype(jnp.float32) \
+        + bias.astype(jnp.float32)
+    y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype), jnp.sum(y, axis=(1, 2))
 
 
 def _kernel(x_ref, taps_ref, scale_ref, bias_ref, out_ref, sums_ref,
@@ -108,6 +129,12 @@ def depthwise_bn_swish(x, taps, scale, bias, *, stride=(1, 1),
     """
     if interpret is None:  # TPU compiles the kernel; CPU interprets it
         interpret = jax.default_backend() == "cpu"
+    if tuple(stride) != (1, 1):
+        # Mosaic can't lower strided vector slices (stride-2 taps fail
+        # verification); stride-2 blocks write 4× fewer pixels so the fusion
+        # win is marginal there anyway — keep them on the XLA lowering.
+        return _xla_fallback(x, taps, scale, bias, stride=tuple(stride),
+                             padding=padding)
     b, h, w, c = x.shape
     kh, kw, _ = taps.shape
     (pt, pb), (pl_, pr) = padding
@@ -115,6 +142,9 @@ def depthwise_bn_swish(x, taps, scale, bias, *, stride=(1, 1),
     oh = (h + pt + pb - kh) // sh + 1
     ow = (w + pl_ + pr - kw) // sw + 1
     ct = _pick_channel_tile(c, (h + pt + pb) * (w + pl_ + pr), oh * ow)
+    if ct is None:  # no legal VMEM-fitting tile (early layers: huge spatial)
+        return _xla_fallback(x, taps, scale, bias, stride=(sh, sw),
+                             padding=padding)
 
     kern = functools.partial(
         _kernel, kh=kh, kw=kw, pad=padding, stride=(sh, sw),
