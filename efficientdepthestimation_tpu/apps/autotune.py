@@ -74,8 +74,14 @@ def load_policy(path: str = DEFAULT_POLICY_PATH) -> dict:
         return {}
 
 
-def _serving_candidates(model, batch: int):
-    """(name, builder_kwargs) for every path×lowering valid for this model."""
+def _serving_candidates(model, batch: int, int8: bool = False):
+    """(name, builder_kwargs) for every path×lowering valid for this model.
+
+    ``int8=True`` additionally measures dynamic-int8 variants of every path
+    (xla depthwise lowering only) — numerics-changing, so they only enter
+    the candidate set on explicit request (``--int8``); the winning entry
+    records the flag and the measured output delta vs the float path.
+    """
     from efficientdepthestimation_tpu.models.hu2018 import HuDepthModel
 
     dws = ["xla"]
@@ -93,28 +99,33 @@ def _serving_candidates(model, batch: int):
             if is_hu:
                 cands.append((f"tiled-staged/{dw}",
                               dict(path="tiled-staged", dw_impl=dw)))
+    if int8:
+        for name, spec in list(cands):
+            if spec["dw_impl"] == "xla":
+                cands.append((f"{name}+int8", dict(spec, int8=True)))
     return cands
 
 
 def build_serving_candidate(model, variables, spec: dict, *,
                             upsample_to=None, dtype=None):
     path, dw = spec["path"], spec["dw_impl"]
+    int8 = bool(spec.get("int8", False))
     if path == "monolithic":
         return make_infer_fn(model, variables, upsample_to=upsample_to,
-                             dtype=dtype, dw_impl=dw)
+                             dtype=dtype, dw_impl=dw, int8=int8)
     if path == "staged":
         return make_staged_infer_fn(model, variables, upsample_to=upsample_to,
-                                    dtype=dtype, dw_impl=dw)
+                                    dtype=dtype, dw_impl=dw, int8=int8)
     if path == "tiled":
         return make_tiled_infer_fn(model, variables, staged=False,
                                    tile_batch=TILE_BATCH,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw)
+                                   dw_impl=dw, int8=int8)
     if path == "tiled-staged":
         return make_tiled_infer_fn(model, variables, staged=True,
                                    tile_batch=TILE_BATCH,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw)
+                                   dw_impl=dw, int8=int8)
     raise ValueError(f"unknown serving path {path!r}")
 
 
@@ -140,7 +151,8 @@ def _timed_fps(fn, images, batch: int, *, warmup: int = 2, iters: int = 5):
 def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
                      upsample_to=None, dtype=None,
                      policy_path: Optional[str] = DEFAULT_POLICY_PATH,
-                     warmup: int = 2, iters: int = 5, verbose: bool = True):
+                     warmup: int = 2, iters: int = 5, verbose: bool = True,
+                     int8: bool = False):
     """Measure all candidates, cache the winner, return (fn, policy_entry).
 
     Measurement inputs are generated ON DEVICE (host→device uploads through
@@ -155,16 +167,31 @@ def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(images)
 
+    # reference output for the int8 accuracy delta (float monolithic path)
+    ref_out = None
+    if int8:
+        ref_fn = build_serving_candidate(
+            model, variables, {"path": "monolithic", "dw_impl": "xla"},
+            upsample_to=upsample_to, dtype=dtype)
+        ref_out = jnp.asarray(ref_fn(images), jnp.float32)
+        ref_norm = float(jnp.linalg.norm(ref_out))
+
     results = []
-    for name, spec in _serving_candidates(model, batch):
+    for name, spec in _serving_candidates(model, batch, int8=int8):
         try:
             fn = build_serving_candidate(model, variables, spec,
                                          upsample_to=upsample_to, dtype=dtype)
             fps = _timed_fps(fn, images, batch, warmup=warmup, iters=iters)
-            results.append({"candidate": name, **spec,
-                            "fps": round(fps, 2)})
+            row = {"candidate": name, **spec, "fps": round(fps, 2)}
+            if spec.get("int8") and ref_out is not None:
+                delta = float(jnp.linalg.norm(
+                    jnp.asarray(fn(images), jnp.float32) - ref_out))
+                row["rel_out_err"] = round(delta / max(ref_norm, 1e-30), 5)
+            results.append(row)
             if verbose:
-                print(f"  {name:>22}: {fps:8.1f} img/s", flush=True)
+                extra = (f"  (rel_err {row['rel_out_err']})"
+                         if "rel_out_err" in row else "")
+                print(f"  {name:>22}: {fps:8.1f} img/s{extra}", flush=True)
         except Exception as exc:  # candidate invalid on this backend — skip
             results.append({"candidate": name, **spec, "fps": None,
                             "error": f"{type(exc).__name__}: {exc}"[:200]})
@@ -177,7 +204,10 @@ def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
         raise RuntimeError(f"every serving candidate failed: {results}")
     best = max(ok, key=lambda r: r["fps"])
     entry = {"path": best["path"], "dw_impl": best["dw_impl"],
+             "int8": bool(best.get("int8", False)),
              "fps": best["fps"], "measured": results}
+    if "rel_out_err" in best:
+        entry["rel_out_err"] = best["rel_out_err"]
 
     if policy_path:
         policy = load_policy(policy_path)
@@ -188,7 +218,8 @@ def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
 
     fn = build_serving_candidate(model, variables,
                                  {"path": best["path"],
-                                  "dw_impl": best["dw_impl"]},
+                                  "dw_impl": best["dw_impl"],
+                                  "int8": best.get("int8", False)},
                                  upsample_to=upsample_to, dtype=dtype)
     return fn, entry
 
@@ -209,6 +240,9 @@ def main(args: Optional[List[str]] = None):
     parser.add_argument("--batch", default=128, type=int)
     parser.add_argument("--crop-hw", nargs=2, type=int, default=[228, 304])
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="also measure dynamic-int8 variants "
+                             "(numerics-changing; winner records rel_out_err)")
     parser.add_argument("--iters", default=5, type=int)
     parser.add_argument("--policy", default=DEFAULT_POLICY_PATH)
     ns = parser.parse_args(args=args)
@@ -226,9 +260,9 @@ def main(args: Optional[List[str]] = None):
           f"on {jax.devices()[0].device_kind}")
     _, entry = autotune_serving(model, variables, ns.batch, crop_hw=crop,
                                 dtype=dtype, policy_path=ns.policy,
-                                iters=ns.iters)
+                                iters=ns.iters, int8=ns.int8)
     print(json.dumps({"winner": {k: entry[k] for k in
-                                 ("path", "dw_impl", "fps")},
+                                 ("path", "dw_impl", "int8", "fps")},
                       "policy": ns.policy}))
     return entry
 

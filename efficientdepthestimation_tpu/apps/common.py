@@ -111,7 +111,7 @@ def _fused_encoder_apply(model):
 
 
 def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
-                  mesh=None, spatial=False, dw_impl="xla"):
+                  mesh=None, spatial=False, dw_impl="xla", int8=False):
     """jit'd forward on normalized NHWC images; optional output upsample.
 
     The variables are passed as jit *arguments* (bound here), never closed
@@ -127,6 +127,10 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     Benchmark/reside_model.py:47-49). The batch must be divisible by the
     data-axis size; outputs come back sharded the same way, so chained
     device code keeps running without a gather.
+
+    ``int8=True``: route FLOP-bound dense convs through the dynamic int8
+    path (``ops.quant.quantized_convs``) — a numerics-changing opt-in;
+    never the default (see PERFORMANCE.md "int8").
 
     ``spatial=True`` (with ``mesh``): spatial parallelism instead — image
     *rows* are sharded across every mesh device and GSPMD compiles conv
@@ -175,7 +179,15 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
         if dtype is not None:
             images = images.astype(dtype)
         with depthwise_impl(dw_impl):  # trace-time lowering choice
-            out = apply_fn(variables, images)
+            if int8:
+                from efficientdepthestimation_tpu.ops.quant import (
+                    quantized_convs,
+                )
+
+                with quantized_convs():
+                    out = apply_fn(variables, images)
+            else:
+                out = apply_fn(variables, images)
         out = out.astype(jnp.float32)
         if upsample_to is not None:
             out = resize_bilinear_align_corners(out, upsample_to)
@@ -185,7 +197,8 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
 
 def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
-                         mff_merge: str = "module", dw_impl="xla"):
+                         mff_merge: str = "module", dw_impl="xla",
+                         int8=False):
     """Hu2018 forward as four chained jit programs (encoder → D → MFF → R).
 
     ``mff_merge``: "module" runs the flax MFF as-is; "grouped"/"blockdiag"
@@ -218,7 +231,7 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
     if not isinstance(model, HuDepthModel):
         return make_infer_fn(model, variables,
-                             upsample_to=upsample_to, dtype=dtype)
+                             upsample_to=upsample_to, dtype=dtype, int8=int8)
 
     if dtype is not None:
         variables = jax.tree_util.tree_map(
@@ -238,6 +251,12 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     r_mod = RefineR(model.block_channel[3])
 
     from efficientdepthestimation_tpu.ops.conv import depthwise_impl
+    from efficientdepthestimation_tpu.ops.quant import quantized_convs
+
+    import contextlib
+
+    def qctx():
+        return quantized_convs() if int8 else contextlib.nullcontext()
 
     enc_variant = _efficientnet_variant(model)
 
@@ -251,10 +270,14 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
             )
 
             return efficientnet_apply_fused(v, images, enc_variant)
-        with depthwise_impl("xla" if dw_impl == "pallas" else dw_impl):
+        with depthwise_impl("xla" if dw_impl == "pallas" else dw_impl), \
+                qctx():
             return enc.apply(v, images, False)
 
-    run_d = jax.jit(lambda v, taps: d_mod.apply(v, taps, False))
+    @jax.jit
+    def run_d(v, taps):
+        with qctx():
+            return d_mod.apply(v, taps, False)
 
     # Stage intermediates are donated at their *last* consumer (taps feed
     # both D and MFF, so MFF — which runs second — donates them; D's and
@@ -263,14 +286,17 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     # reader runs — batch-256 serving headroom without changing results.
     @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
     def run_mff(v, taps, size):
-        if mff_merge == "module":
-            return mff_mod.apply(v, taps, size, False)
-        return mff_apply_merged(v, taps, size,
-                                block_diag=(mff_merge == "blockdiag"))
+        with qctx():
+            if mff_merge == "module":
+                return mff_mod.apply(v, taps, size, False)
+            return mff_apply_merged(v, taps, size,
+                                    block_diag=(mff_merge == "blockdiag"))
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def run_r(v, x_d, x_mff):
-        out = r_mod.apply(v, jnp.concatenate([x_d, x_mff], axis=-1), False)
+        with qctx():
+            out = r_mod.apply(v, jnp.concatenate([x_d, x_mff], axis=-1),
+                              False)
         out = out.astype(jnp.float32)
         if upsample_to is not None:
             out = resize_bilinear_align_corners(out, upsample_to)
@@ -289,7 +315,8 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
 
 def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
-                        upsample_to=None, dtype=None, dw_impl="xla"):
+                        upsample_to=None, dtype=None, dw_impl="xla",
+                        int8=False):
     """Serve arbitrary batch sizes by slicing into ``tile_batch`` tiles.
 
     TPU lane tiling makes batch-128 multiples the throughput sweet spot
@@ -307,7 +334,7 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
     """
     maker = make_staged_infer_fn if staged else make_infer_fn
     base = maker(model, variables, upsample_to=upsample_to, dtype=dtype,
-                 dw_impl=dw_impl)
+                 dw_impl=dw_impl, int8=int8)
 
     def infer(images):
         n = images.shape[0]
@@ -325,7 +352,7 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
 
 def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
                     dtype=None, mesh=None, spatial=False, dw_impl="xla",
-                    policy_path=None):
+                    policy_path=None, int8=False):
     """Pick the fastest measured serving path for (model, batch) automatically.
 
     ``policy_path``: a JSON policy written by ``apps.autotune`` — per-device
@@ -355,7 +382,7 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     if mesh is not None or batch_hint is None:
         return make_infer_fn(model, variables, upsample_to=upsample_to,
                              dtype=dtype, mesh=mesh, spatial=spatial,
-                             dw_impl=dw_impl)
+                             dw_impl=dw_impl, int8=int8)
 
     if policy_path:
         from efficientdepthestimation_tpu.apps.autotune import (
@@ -369,7 +396,8 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
         if entry is not None:
             return build_serving_candidate(
                 model, variables,
-                {"path": entry["path"], "dw_impl": entry["dw_impl"]},
+                {"path": entry["path"], "dw_impl": entry["dw_impl"],
+                 "int8": entry.get("int8", False) or int8},
                 upsample_to=upsample_to, dtype=dtype)
 
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
@@ -377,10 +405,10 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     if batch_hint > 128:
         return make_tiled_infer_fn(model, variables, staged=staged,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw_impl)
+                                   dw_impl=dw_impl, int8=int8)
     if staged:
         return make_staged_infer_fn(model, variables,
                                     upsample_to=upsample_to, dtype=dtype,
-                                    dw_impl=dw_impl)
+                                    dw_impl=dw_impl, int8=int8)
     return make_infer_fn(model, variables, upsample_to=upsample_to,
-                         dtype=dtype, dw_impl=dw_impl)
+                         dtype=dtype, dw_impl=dw_impl, int8=int8)

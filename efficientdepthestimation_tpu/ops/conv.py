@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from efficientdepthestimation_tpu.ops import quant as _quant
+
 __all__ = [
     "conv2d",
     "depthwise_conv2d",
@@ -122,6 +124,10 @@ def conv2d(
         if bias is not None:
             out = out + bias
         return out
+    if _quant.quant_enabled() and _quant.should_quantize(
+            kernel.shape, groups, dilation):
+        return _quant.quant_conv2d(x, kernel, stride=stride,
+                                   padding=_norm_padding(padding), bias=bias)
     out = lax.conv_general_dilated(
         x,
         kernel,

@@ -11,7 +11,11 @@ Run: python perf/int8_probe.py
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
 
@@ -56,6 +60,20 @@ def main():
         ("expand1x1", 128, 57, 76, 24, 144, 1, 1),
         ("rn50_3x3", 128, 29, 38, 256, 256, 3, 1),
         ("upproj5x5", 128, 57, 76, 1024, 512, 5, 1),
+        # The convs the serving models actually run (RN50-HU / ENB0-HU at
+        # 228x304 input, batch 128) — the R stage is 25.5 ms at 71% MFU
+        # and D is 39.4 ms at 55% (perf/stages_resnet50_bf16.json), so
+        # these decide whether an int8 path is worth building.
+        ("r_conv0_rn50", 128, 114, 152, 130, 128, 5, 1),
+        ("r_conv1_rn50", 128, 114, 152, 128, 128, 5, 1),
+        ("r_conv2_rn50", 128, 114, 152, 128, 1, 5, 1),
+        ("d_conv1x1_rn50", 128, 8, 10, 2048, 1024, 1, 1),
+        ("d_up1_rn50", 128, 15, 19, 1024, 1024, 5, 1),
+        ("d_up2_rn50", 128, 29, 38, 512, 512, 5, 1),
+        ("d_up3_rn50", 128, 57, 76, 256, 256, 5, 1),
+        ("d_up4_rn50", 128, 114, 152, 128, 128, 5, 1),
+        ("mff_conv", 128, 114, 152, 64, 64, 5, 1),
+        ("r_conv01_enb0", 128, 114, 152, 104, 104, 5, 1),
     ]
     out = {}
     for name, b, h, w, ci, co, k, s in shapes:

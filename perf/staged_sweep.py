@@ -35,8 +35,10 @@ def main():
     )
     from efficientdepthestimation_tpu.models import build_model
 
-    encoder = sys.argv[1] if len(sys.argv) > 1 else "resnet50"
-    batches = [int(b) for b in sys.argv[2:]] or [96, 128, 192, 256]
+    argv = [a for a in sys.argv[1:] if a != "--int8"]
+    int8 = "--int8" in sys.argv
+    encoder = argv[0] if argv else "resnet50"
+    batches = [int(b) for b in argv[1:]] or [96, 128, 192, 256]
 
     model = build_model(encoder, "hu2018")
     variables = init_variables(model, (228, 304), batch=1)
@@ -51,6 +53,19 @@ def main():
                                   dtype=jnp.bfloat16)
     tiled = make_tiled_infer_fn(model, variables, upsample_to=(480, 640),
                                 dtype=jnp.bfloat16)
+    variants = [("staged", staged), ("monolithic", mono), ("tiled128", tiled)]
+    if int8:
+        variants += [
+            ("staged+int8", make_staged_infer_fn(
+                model, variables, upsample_to=(480, 640),
+                dtype=jnp.bfloat16, int8=True)),
+            ("monolithic+int8", make_infer_fn(
+                model, variables, upsample_to=(480, 640),
+                dtype=jnp.bfloat16, int8=True)),
+            ("tiled128+int8", make_tiled_infer_fn(
+                model, variables, upsample_to=(480, 640),
+                dtype=jnp.bfloat16, int8=True)),
+        ]
 
     def measure(infer, frames, warmup=3, iters=15):
         carry = jnp.zeros((), jnp.float32)
@@ -67,8 +82,7 @@ def main():
     for batch in batches:
         frames = jnp.asarray(
             rng.integers(0, 256, (batch, 480, 640, 3), dtype=np.uint8))
-        for name, infer in (("staged", staged), ("monolithic", mono),
-                            ("tiled128", tiled)):
+        for name, infer in variants:
             try:
                 ms = measure(infer, frames) * 1e3
             except Exception as e:  # OOM at large batch

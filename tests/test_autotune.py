@@ -79,3 +79,42 @@ def test_load_policy_missing_or_corrupt(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
     assert load_policy(str(bad)) == {}
+
+def test_autotune_int8_candidates_and_accuracy_record(tmp_path):
+    """--int8 adds dynamic-int8 variants (xla lowering only), records the
+    measured output delta vs the float path, and the cached winner replays
+    through make_serving_fn including its int8 flag."""
+    model = build_model("resnet18", "hu2018")
+    names = [n for n, _ in _serving_candidates(model, 8, int8=True)]
+    assert names == ["monolithic/xla", "staged/xla",
+                     "monolithic/xla+int8", "staged/xla+int8"]
+
+    variables = init_variables(model, (64, 96))
+    policy_path = str(tmp_path / "policy.json")
+    fn, entry = autotune_serving(model, variables, 4, crop_hw=(64, 96),
+                                 policy_path=policy_path, warmup=0, iters=1,
+                                 verbose=False, int8=True)
+    rows = {r["candidate"]: r for r in entry["measured"]}
+    assert set(rows) == set(names)
+    for name in ("monolithic/xla+int8", "staged/xla+int8"):
+        err = rows[name]["rel_out_err"]
+        # rn18-hu at 64x96 has eligible 128-aligned decoder convs, so int8
+        # must actually perturb the output - but only at the ~1% scale
+        assert 0 < err < 0.05
+    assert "int8" in entry
+
+    # a forced-int8 policy entry replays through make_serving_fn
+    policy = load_policy(policy_path)
+    key = policy_key(model, 4, None)
+    policy[key] = {"path": "monolithic", "dw_impl": "xla", "int8": True,
+                   "fps": 1.0}
+    (tmp_path / "policy.json").write_text(json.dumps(policy))
+    images = jnp.asarray(
+        np.random.default_rng(1).standard_normal((4, 64, 96, 3),
+                                                 dtype=np.float32))
+    served = np.asarray(make_serving_fn(model, variables, batch_hint=4,
+                                        policy_path=policy_path)(images))
+    reference = np.asarray(make_infer_fn(model, variables)(images))
+    rel = (np.linalg.norm(served - reference)
+           / max(np.linalg.norm(reference), 1e-30))
+    assert 0 < rel < 0.05  # int8 path ran (differs), within band
