@@ -17,7 +17,9 @@ Candidates mirror the serving factories (apps/common.py):
   * monolithic        — one jit program (``make_infer_fn``)
   * staged            — encoder → D → MFF → R chained jits (Hu models only)
   * tiled / tiled-staged — batch-tiled over the base (batch > tile only)
-× depthwise lowerings xla / shift / pallas (EfficientNet encoders only).
+× depthwise lowerings xla / shift / pallas (EfficientNet encoders only)
+× constant-baked weights (``+bake``, xla lowering only — weights embedded
+  as compile-time constants; fastest fixed-checkpoint path on v5e).
 
 CLI:  python -m efficientdepthestimation_tpu.apps.autotune \
           --encoder efficientnet-b0 --decoder hu2018 --batch 128 --bf16
@@ -99,6 +101,12 @@ def _serving_candidates(model, batch: int, int8: bool = False):
             if is_hu:
                 cands.append((f"tiled-staged/{dw}",
                               dict(path="tiled-staged", dw_impl=dw)))
+    # Constant-baked weights (bake_weights=True) compose with every path;
+    # measured 1.4-1.7× on v5e (perf/bake_sweep_*.json). Like int8, only the
+    # default xla lowering gets the extra variants to bound compile cost.
+    for name, spec in list(cands):
+        if spec["dw_impl"] == "xla":
+            cands.append((f"{name}+bake", dict(spec, bake_weights=True)))
     if int8:
         for name, spec in list(cands):
             if spec["dw_impl"] == "xla":
@@ -110,22 +118,25 @@ def build_serving_candidate(model, variables, spec: dict, *,
                             upsample_to=None, dtype=None):
     path, dw = spec["path"], spec["dw_impl"]
     int8 = bool(spec.get("int8", False))
+    bake = bool(spec.get("bake_weights", False))
     if path == "monolithic":
         return make_infer_fn(model, variables, upsample_to=upsample_to,
-                             dtype=dtype, dw_impl=dw, int8=int8)
+                             dtype=dtype, dw_impl=dw, int8=int8,
+                             bake_weights=bake)
     if path == "staged":
         return make_staged_infer_fn(model, variables, upsample_to=upsample_to,
-                                    dtype=dtype, dw_impl=dw, int8=int8)
+                                    dtype=dtype, dw_impl=dw, int8=int8,
+                                    bake_weights=bake)
     if path == "tiled":
         return make_tiled_infer_fn(model, variables, staged=False,
                                    tile_batch=TILE_BATCH,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw, int8=int8)
+                                   dw_impl=dw, int8=int8, bake_weights=bake)
     if path == "tiled-staged":
         return make_tiled_infer_fn(model, variables, staged=True,
                                    tile_batch=TILE_BATCH,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw, int8=int8)
+                                   dw_impl=dw, int8=int8, bake_weights=bake)
     raise ValueError(f"unknown serving path {path!r}")
 
 
@@ -205,6 +216,7 @@ def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
     best = max(ok, key=lambda r: r["fps"])
     entry = {"path": best["path"], "dw_impl": best["dw_impl"],
              "int8": bool(best.get("int8", False)),
+             "bake_weights": bool(best.get("bake_weights", False)),
              "fps": best["fps"], "measured": results}
     if "rel_out_err" in best:
         entry["rel_out_err"] = best["rel_out_err"]
@@ -219,7 +231,9 @@ def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
     fn = build_serving_candidate(model, variables,
                                  {"path": best["path"],
                                   "dw_impl": best["dw_impl"],
-                                  "int8": best.get("int8", False)},
+                                  "int8": best.get("int8", False),
+                                  "bake_weights": best.get(
+                                      "bake_weights", False)},
                                  upsample_to=upsample_to, dtype=dtype)
     return fn, entry
 
@@ -262,7 +276,8 @@ def main(args: Optional[List[str]] = None):
                                 dtype=dtype, policy_path=ns.policy,
                                 iters=ns.iters, int8=ns.int8)
     print(json.dumps({"winner": {k: entry[k] for k in
-                                 ("path", "dw_impl", "int8", "fps")},
+                                 ("path", "dw_impl", "int8", "bake_weights",
+                                  "fps")},
                       "policy": ns.policy}))
     return entry
 

@@ -111,14 +111,28 @@ def _fused_encoder_apply(model):
 
 
 def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
-                  mesh=None, spatial=False, dw_impl="xla", int8=False):
+                  mesh=None, spatial=False, dw_impl="xla", int8=False,
+                  bake_weights=False):
     """jit'd forward on normalized NHWC images; optional output upsample.
 
-    The variables are passed as jit *arguments* (bound here), never closed
-    over: closure-captured weights become HLO constants, which some runtimes
+    By default the variables are passed as jit *arguments* (bound here):
+    closure-captured **host** weights become constants some runtimes
     (including the axon tunnel) re-stage on every call — measured at ~50 ms
     per call for ENB0-HU vs ~0.4 ms with argument-passed, device-resident
     weights.
+
+    ``bake_weights=True`` closes the jit over the *device-resident* weight
+    tree instead (no per-call re-staging — the round-1 pathology was
+    host-resident captures), making every weight a compile-time constant.
+    XLA then specializes the program to the values — folding BatchNorm
+    affines into adjacent convs and pre-packing weight layouts at compile
+    time instead of per call. Measured on v5e b128 e2e: ENB0-HU 2128→3698
+    fps, RN50-HU 774→1328 fps (perf/const_weights_probe.py). The costs: the
+    executable embeds the weights (one compile per checkpoint — no compile
+    reuse across weight values) and constant folding may reassociate float
+    ops, so outputs can differ from the argument path at ~1-ulp level
+    (equivalence-tested within tolerance, not bitwise). The right default
+    for fixed-checkpoint serving; wrong for anything that swaps weights.
 
     ``mesh``: SPMD data-parallel *serving* over a ``parallel.create_mesh``
     device mesh — parameters replicated, batch sharded along the ``data``
@@ -172,8 +186,7 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
         apply_fn = _fused_encoder_apply(model) or model.apply
         dw_impl = "xla"
 
-    @functools.partial(jax.jit, in_shardings=in_shardings)
-    def infer(variables, images):
+    def fwd(variables, images):
         if mesh is not None and spatial:
             images = jax.lax.with_sharding_constraint(images, row_sharding)
         if dtype is not None:
@@ -193,12 +206,18 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
             out = resize_bilinear_align_corners(out, upsample_to)
         return out
 
+    if bake_weights:
+        img_shardings = None if in_shardings is None else (in_shardings[1],)
+        return jax.jit(lambda images: fwd(variables, images),
+                       in_shardings=img_shardings)
+
+    infer = jax.jit(fwd, in_shardings=in_shardings)
     return lambda images: infer(variables, images)
 
 
 def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
                          mff_merge: str = "module", dw_impl="xla",
-                         int8=False):
+                         int8=False, bake_weights=False):
     """Hu2018 forward as four chained jit programs (encoder → D → MFF → R).
 
     ``mff_merge``: "module" runs the flax MFF as-is; "grouped"/"blockdiag"
@@ -231,7 +250,8 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
     if not isinstance(model, HuDepthModel):
         return make_infer_fn(model, variables,
-                             upsample_to=upsample_to, dtype=dtype, int8=int8)
+                             upsample_to=upsample_to, dtype=dtype, int8=int8,
+                             bake_weights=bake_weights)
 
     if dtype is not None:
         variables = jax.tree_util.tree_map(
@@ -260,8 +280,7 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
     enc_variant = _efficientnet_variant(model)
 
-    @jax.jit
-    def run_enc(v, images):
+    def enc_body(v, images):
         if dtype is not None:
             images = images.astype(dtype)
         if dw_impl == "pallas" and enc_variant is not None:
@@ -274,26 +293,18 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
                 qctx():
             return enc.apply(v, images, False)
 
-    @jax.jit
-    def run_d(v, taps):
+    def d_body(v, taps):
         with qctx():
             return d_mod.apply(v, taps, False)
 
-    # Stage intermediates are donated at their *last* consumer (taps feed
-    # both D and MFF, so MFF — which runs second — donates them; D's and
-    # MFF's outputs are donated into R). TPU programs execute in dispatch
-    # order, so donation frees each intermediate's HBM the moment its final
-    # reader runs — batch-256 serving headroom without changing results.
-    @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(1,))
-    def run_mff(v, taps, size):
+    def mff_body(v, taps, size):
         with qctx():
             if mff_merge == "module":
                 return mff_mod.apply(v, taps, size, False)
             return mff_apply_merged(v, taps, size,
                                     block_diag=(mff_merge == "blockdiag"))
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def run_r(v, x_d, x_mff):
+    def r_body(v, x_d, x_mff):
         with qctx():
             out = r_mod.apply(v, jnp.concatenate([x_d, x_mff], axis=-1),
                               False)
@@ -303,6 +314,35 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
         return out
 
     ev, dv, mv, rv = sub("E"), sub("D"), sub("MFF"), sub("R")
+
+    # Stage intermediates are donated at their *last* consumer (taps feed
+    # both D and MFF, so MFF — which runs second — donates them; D's and
+    # MFF's outputs are donated into R). TPU programs execute in dispatch
+    # order, so donation frees each intermediate's HBM the moment its final
+    # reader runs — batch-256 serving headroom without changing results.
+    if bake_weights:
+        # Device-resident weights baked as per-stage compile-time constants
+        # (see make_infer_fn's bake_weights docstring for the trade-offs).
+        run_enc = jax.jit(lambda images: enc_body(ev, images))
+        run_d = jax.jit(lambda taps: d_body(dv, taps))
+        run_mff = jax.jit(lambda taps, size: mff_body(mv, taps, size),
+                          static_argnums=(1,), donate_argnums=(0,))
+        run_r = jax.jit(lambda x_d, x_mff: r_body(rv, x_d, x_mff),
+                        donate_argnums=(0, 1))
+
+        def infer(images):
+            taps = run_enc(images)
+            size = (taps[0].shape[1] * 2, taps[0].shape[2] * 2)
+            x_d = run_d(taps)
+            x_mff = run_mff(taps, size)
+            return run_r(x_d, x_mff)
+
+        return infer
+
+    run_enc = jax.jit(enc_body)
+    run_d = jax.jit(d_body)
+    run_mff = jax.jit(mff_body, static_argnums=(2,), donate_argnums=(1,))
+    run_r = jax.jit(r_body, donate_argnums=(1, 2))
 
     def infer(images):
         taps = run_enc(ev, images)
@@ -316,7 +356,7 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
 def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
                         upsample_to=None, dtype=None, dw_impl="xla",
-                        int8=False):
+                        int8=False, bake_weights=False):
     """Serve arbitrary batch sizes by slicing into ``tile_batch`` tiles.
 
     TPU lane tiling makes batch-128 multiples the throughput sweet spot
@@ -334,7 +374,7 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
     """
     maker = make_staged_infer_fn if staged else make_infer_fn
     base = maker(model, variables, upsample_to=upsample_to, dtype=dtype,
-                 dw_impl=dw_impl, int8=int8)
+                 dw_impl=dw_impl, int8=int8, bake_weights=bake_weights)
 
     def infer(images):
         n = images.shape[0]
@@ -352,7 +392,7 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
 
 def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
                     dtype=None, mesh=None, spatial=False, dw_impl="xla",
-                    policy_path=None, int8=False):
+                    policy_path=None, int8=False, bake_weights=None):
     """Pick the fastest measured serving path for (model, batch) automatically.
 
     ``policy_path``: a JSON policy written by ``apps.autotune`` — per-device
@@ -361,14 +401,21 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     numbers and may mis-rank other topologies).
 
     Policy (all numbers measured on a v5e chip, 640×480 e2e,
-    perf/staged_sweep_results.jsonl):
+    perf/staged_sweep_results.jsonl + perf/bake_sweep_*.json):
 
     - ``mesh`` given → SPMD monolithic (``make_infer_fn``): data-parallel
       for throughput, or row-sharded spatial parallel (``spatial=True``)
       when the batch is too small to split (single-frame latency).
+    - ``bake_weights`` (default for fixed-checkpoint batch serving):
+      weights embedded as compile-time constants — XLA folds BN affines and
+      pre-packs layouts, and the monolithic buffer-assignment cliff
+      disappears, so baked monolithic wins every family (ENB0 3510 vs 2083
+      fps at b128; RN50 1328 baked-mono vs 1253 staged-arg). Pass
+      ``bake_weights=False`` when the same program must serve swapped
+      weights; the round-2 arg-weights policy below then applies.
     - wide-top encoders (top tap ≥ 1024 channels: ResNet50+, SENet-154,
-      DenseNet-161) at batch ≥ 128 → staged programs (dodges XLA's
-      monolithic buffer-assignment cliff: RN50 1291 vs 783 fps,
+      DenseNet-161) at batch ≥ 128, arg weights → staged programs (dodges
+      XLA's monolithic buffer-assignment cliff: RN50 1291 vs 783 fps,
       SENet 641 vs 482).
     - narrow-top encoders (EfficientNets) → monolithic (staged boundaries
       cost more than the cliff: ENB0 2149 vs 1429 at batch 128).
@@ -382,7 +429,8 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     if mesh is not None or batch_hint is None:
         return make_infer_fn(model, variables, upsample_to=upsample_to,
                              dtype=dtype, mesh=mesh, spatial=spatial,
-                             dw_impl=dw_impl, int8=int8)
+                             dw_impl=dw_impl, int8=int8,
+                             bake_weights=bool(bake_weights))
 
     if policy_path:
         from efficientdepthestimation_tpu.apps.autotune import (
@@ -397,18 +445,32 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
             return build_serving_candidate(
                 model, variables,
                 {"path": entry["path"], "dw_impl": entry["dw_impl"],
-                 "int8": entry.get("int8", False) or int8},
+                 "int8": entry.get("int8", False) or int8,
+                 "bake_weights": entry.get(
+                     "bake_weights", bool(bake_weights))},
                 upsample_to=upsample_to, dtype=dtype)
 
+    # Fixed-checkpoint batch serving defaults to constant-baked weights
+    # (measured: ENB0-HU 2128→3698 fps, RN50-HU 774→1328 fps at b128 —
+    # perf/const_weights_probe.py); pass bake_weights=False to keep the
+    # compile reusable across checkpoints.
+    if bake_weights is None:
+        bake_weights = True
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
-    staged = wide_top and batch_hint >= 128
+    # Baked monolithic beats staged everywhere EXCEPT wide-top int8 serving,
+    # where the quantized staged path keeps its lead (RN50 b128: staged+int8
+    # 1401-1453 fps vs baked-mono+int8 1297 — perf/bake_sweep_hu2018_b128.json)
+    staged = wide_top and batch_hint >= 128 and (int8 or not bake_weights)
     if batch_hint > 128:
         return make_tiled_infer_fn(model, variables, staged=staged,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw_impl, int8=int8)
+                                   dw_impl=dw_impl, int8=int8,
+                                   bake_weights=bake_weights)
     if staged:
         return make_staged_infer_fn(model, variables,
                                     upsample_to=upsample_to, dtype=dtype,
-                                    dw_impl=dw_impl, int8=int8)
+                                    dw_impl=dw_impl, int8=int8,
+                                    bake_weights=bake_weights)
     return make_infer_fn(model, variables, upsample_to=upsample_to,
-                         dtype=dtype, dw_impl=dw_impl, int8=int8)
+                         dtype=dtype, dw_impl=dw_impl, int8=int8,
+                         bake_weights=bake_weights)

@@ -57,14 +57,19 @@ class _WrappedModel(DepthModel):
 
     def __init__(self, model, variables):
         self.model = model
-        # keep weights device-resident and pass them as jit arguments (see
-        # apps/common.make_infer_fn for why closing over them is slow)
+        # device_put first, then closure-capture: the wrapper serves one
+        # fixed checkpoint, so baking the device-resident weights as
+        # compile-time constants is safe and measured 1.4-1.7x faster
+        # (apps/common.make_infer_fn bake_weights docstring). Capturing
+        # host-resident weights would re-stage them per call — the
+        # device_put is load-bearing.
         self.variables = jax.device_put(variables)
+        captured = self.variables
 
         @jax.jit
-        def forward(variables, images):
+        def forward(images):
             images = normalize_imagenet(images)
-            out = self.model.apply(variables, images)
+            out = self.model.apply(captured, images)
             return out[..., 0]  # (N, H', W')
 
         self._forward = forward
@@ -82,12 +87,12 @@ class _WrappedModel(DepthModel):
         flat = images.reshape(-1, h, w, c)
         n, t = flat.shape[0], self._tile
         if n <= t:
-            out = self._forward(self.variables, flat)
+            out = self._forward(flat)
         else:
-            outs = [self._forward(self.variables, flat[i:i + t])
+            outs = [self._forward(flat[i:i + t])
                     for i in range(0, n - t + 1, t)]
             if n % t:
-                outs.append(self._forward(self.variables, flat[n - n % t:]))
+                outs.append(self._forward(flat[n - n % t:]))
             out = jnp.concatenate(outs, axis=0)
         return out.reshape(lead + out.shape[-2:])
 

@@ -82,6 +82,37 @@ def test_staged_infer_matches_monolithic(workspace):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_baked_weights_match_argument_weights(workspace):
+    """bake_weights=True (weights as compile-time constants — the fast
+    fixed-checkpoint serving path, perf/bake_sweep_*.json) must produce the
+    same depths as the argument-weights program on every path shape. XLA's
+    constant folding may reassociate float ops, so tolerance, not bitwise."""
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import (
+        make_infer_fn,
+        make_staged_infer_fn,
+        make_tiled_infer_fn,
+    )
+
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 228, 304, 3)), jnp.float32)
+    ref = make_infer_fn(model, variables, upsample_to=(480, 640))(x)
+    for label, fn in [
+        ("mono", make_infer_fn(model, variables, upsample_to=(480, 640),
+                               bake_weights=True)),
+        ("staged", make_staged_infer_fn(model, variables,
+                                        upsample_to=(480, 640),
+                                        bake_weights=True)),
+        ("tiled", make_tiled_infer_fn(model, variables, tile_batch=2,
+                                      upsample_to=(480, 640),
+                                      bake_weights=True)),
+    ]:
+        np.testing.assert_allclose(np.asarray(fn(x)), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=label)
+
+
 def test_tiled_infer_matches_monolithic(workspace):
     """Batch-tiled serving (sweet-spot tiles + remainder program) must equal
     the single-dispatch forward for batches that are NOT a tile multiple."""
@@ -128,7 +159,9 @@ def test_dw_impl_serving_matches_default():
 
 
 def test_make_serving_fn_policy_and_equivalence(workspace):
-    """make_serving_fn picks staged for wide-top encoders at batch>=128,
+    """make_serving_fn bakes weights for fixed-checkpoint batch serving by
+    default (monolithic wins every family then); with bake_weights=False it
+    keeps the round-2 policy — staged for wide-top encoders at batch>=128,
     tiled beyond 128, monolithic otherwise — and every path agrees."""
     import jax.numpy as jnp
 
@@ -157,7 +190,13 @@ def test_make_serving_fn_policy_and_equivalence(workspace):
         common.make_serving_fn(wide, variables, batch_hint=64)
         assert calls == ["mono"]
         calls.clear()
+        # default (bake): baked monolithic beats staged for wide tops too
         common.make_serving_fn(wide, variables, batch_hint=128)
+        assert calls[0] == "mono"
+        calls.clear()
+        # weight-swapping serving opts out of baking -> staged path returns
+        common.make_serving_fn(wide, variables, batch_hint=128,
+                               bake_weights=False)
         assert calls[0] == "staged"
         calls.clear()
     finally:

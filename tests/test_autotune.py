@@ -26,18 +26,22 @@ def test_candidate_enumeration_covers_paths_and_lowerings():
     enb0 = build_model("efficientnet-b0", "hu2018")
     names = [n for n, _ in _serving_candidates(enb0, 256)]
     # 3 lowerings x {monolithic, staged, tiled, tiled-staged}
-    assert len(names) == 12
+    # + 4 baked variants (xla lowering only)
+    assert len(names) == 16
     assert "monolithic/pallas" in names and "tiled-staged/shift" in names
+    assert "monolithic/xla+bake" in names and "tiled/xla+bake" in names
 
     rn18 = build_model("resnet18", "hu2018")
     names = [n for n, _ in _serving_candidates(rn18, 8)]
     # no EfficientNet lowerings, batch <= tile -> no tiled variants
-    assert names == ["monolithic/xla", "staged/xla"]
+    assert names == ["monolithic/xla", "staged/xla",
+                     "monolithic/xla+bake", "staged/xla+bake"]
 
     midas = build_model("resnet18", "lasinger2019", input_size=(64, 96),
                         output_size=(32, 48))
     names = [n for n, _ in _serving_candidates(midas, 8)]
-    assert names == ["monolithic/xla"]  # staged path is Hu-only
+    # staged path is Hu-only
+    assert names == ["monolithic/xla", "monolithic/xla+bake"]
 
 
 def test_autotune_measures_caches_and_dispatches(tmp_path):
@@ -53,7 +57,8 @@ def test_autotune_measures_caches_and_dispatches(tmp_path):
     assert entry["fps"] and entry["fps"] > 0
     # every candidate was attempted and recorded
     assert [r["candidate"] for r in entry["measured"]] == [
-        "monolithic/xla", "staged/xla"]
+        "monolithic/xla", "staged/xla",
+        "monolithic/xla+bake", "staged/xla+bake"]
 
     policy = load_policy(policy_path)
     key = policy_key(model, 4, None)
@@ -86,8 +91,12 @@ def test_autotune_int8_candidates_and_accuracy_record(tmp_path):
     through make_serving_fn including its int8 flag."""
     model = build_model("resnet18", "hu2018")
     names = [n for n, _ in _serving_candidates(model, 8, int8=True)]
+    # int8 composes with baking too (baked weights let XLA constant-fold
+    # the weight quantization)
     assert names == ["monolithic/xla", "staged/xla",
-                     "monolithic/xla+int8", "staged/xla+int8"]
+                     "monolithic/xla+bake", "staged/xla+bake",
+                     "monolithic/xla+int8", "staged/xla+int8",
+                     "monolithic/xla+bake+int8", "staged/xla+bake+int8"]
 
     variables = init_variables(model, (64, 96))
     policy_path = str(tmp_path / "policy.json")
@@ -96,12 +105,13 @@ def test_autotune_int8_candidates_and_accuracy_record(tmp_path):
                                  verbose=False, int8=True)
     rows = {r["candidate"]: r for r in entry["measured"]}
     assert set(rows) == set(names)
-    for name in ("monolithic/xla+int8", "staged/xla+int8"):
+    for name in ("monolithic/xla+int8", "staged/xla+int8",
+                 "monolithic/xla+bake+int8"):
         err = rows[name]["rel_out_err"]
         # rn18-hu at 64x96 has eligible 128-aligned decoder convs, so int8
         # must actually perturb the output - but only at the ~1% scale
         assert 0 < err < 0.05
-    assert "int8" in entry
+    assert "int8" in entry and "bake_weights" in entry
 
     # a forced-int8 policy entry replays through make_serving_fn
     policy = load_policy(policy_path)
