@@ -335,6 +335,13 @@ def test_data_parallel_serving_matches_single_device(workspace):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-5, atol=1e-5)
 
+    # baked weights compose with SPMD serving (captured *sharded* arrays)
+    baked = make_infer_fn(model, variables, upsample_to=(480, 640),
+                          mesh=mesh, bake_weights=True)(x)
+    assert len(baked.sharding.device_set) == mesh.shape["data"]
+    np.testing.assert_allclose(np.asarray(baked), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
 
 def test_spatial_parallel_serving_matches_single_device(workspace):
     """make_infer_fn(mesh=..., spatial=True) shards image *rows* across all
