@@ -18,7 +18,13 @@ RUN pip install --no-cache-dir \
         opencv-python-headless matplotlib scipy pytest jinja2 seaborn \
     && pip install --no-cache-dir torch --index-url https://download.pytorch.org/whl/cpu
 
+# Install the package itself (console scripts: ede-train, ede-benchmark, ...).
+RUN pip install --no-cache-dir --no-deps --no-build-isolation -e .
+
 # Pre-build the native batch decoder.
 RUN python -c "from efficientdepthestimation_tpu.native import build_library; build_library()"
 
-ENTRYPOINT ["python", "-m", "efficientdepthestimation_tpu.apps.train"]
+# Sanity: the smoke tier must pass in the fresh container (see DEPLOYMENT.md).
+RUN python -m pytest tests/ -m smoke -q
+
+ENTRYPOINT ["ede-train"]

@@ -25,6 +25,15 @@ honor_explicit_cpu_request()
 def infer_arch_from_path(model_path: str) -> tuple[str, str]:
     """Substring-sniffing fallback (demo.py:25-31): encoder from the path,
     hu2018 decoder assumed unless 'lasinger'/'lr' appears."""
+    # First try the released-checkpoint convention ('ENB0-HU.pth' — the
+    # name dispatch of inference_benchmark.py:117-125)...
+    from efficientdepthestimation_tpu.models.registry import parse_checkpoint_name
+
+    try:
+        return parse_checkpoint_name(os.path.basename(model_path))
+    except ValueError:
+        pass
+    # ...then the demo.py:25-31 substring sniffing.
     lower = os.path.splitext(os.path.basename(model_path))[0].lower()
     decoder = "lasinger2019" if ("lasinger" in lower or lower.endswith("-lr")) else "hu2018"
     for token, enc in (

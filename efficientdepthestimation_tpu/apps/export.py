@@ -45,6 +45,9 @@ def main(args: Optional[List[str]] = None):
     parser.add_argument("--verify", action="store_true",
                         help="reload the artifact and check it against the live"
                              " model on random frames")
+    import sys
+
+    raw_args = list(args) if args is not None else sys.argv[1:]
     args = parser.parse_args(args)
 
     import jax
@@ -59,7 +62,14 @@ def main(args: Optional[List[str]] = None):
 
     if args.model is not None:
         encoder, decoder = infer_arch_from_path(args.model)
-        model, variables = load_any_checkpoint(args.model)
+        explicit = {a for a in ("--encoder", "--decoder")
+                    if any(s == a or s.startswith(a + "=")
+                           for s in raw_args)}
+        if explicit:
+            print(f"warning: {sorted(explicit)} ignored — architecture "
+                  f"{encoder}-{decoder} inferred from --model filename")
+        model, variables = load_any_checkpoint(
+            args.model, example_input_hw=tuple(args.crop_hw))
     else:
         encoder, decoder = args.encoder, args.decoder
         model = build_model(encoder, decoder)
@@ -93,8 +103,16 @@ def main(args: Optional[List[str]] = None):
         want = np.asarray(_pipeline(model, tuple(args.crop_hw),
                                     tuple(args.out_hw), dtype)(variables, frames))
         err = float(np.max(np.abs(got - want)))
-        print(f"verify: max abs diff vs live model = {err:.3e}")
-        assert err < 1e-3, err
+        # Baked constant folding reassociates at the compute dtype's
+        # precision: 1 ulp of bf16 at meter-scale depths is ~0.03, so the
+        # bf16 tolerance matches tests/test_export.py, not f32 epsilon.
+        tol = 1e-5 if args.f32 else 1e-2
+        print(f"verify: max abs diff vs live model = {err:.3e} (tol {tol:g})")
+        if err >= tol:
+            raise ValueError(
+                f"artifact verify failed: max abs diff {err:.3e} >= {tol:g} "
+                f"({'f32' if args.f32 else 'bf16'} export, batch={b}, "
+                f"in_hw={tuple(args.in_hw)})")
     return meta
 
 

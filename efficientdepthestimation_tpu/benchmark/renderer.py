@@ -170,6 +170,56 @@ def render_novel_views(image: jax.Array, depth01: jax.Array, views: jax.Array,
     return _splat_views(points, colors, views, fov_y_deg, (out_h, out_w))
 
 
+def _grid_sample_ac(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Align-corners bilinear sample of ``img`` (H, W[, C]) at normalized
+    coords ``u`` (columns) / ``v`` (rows), each (sh, sw) — texel (0,0) is
+    u=v=0, texel (W-1, H-1) is u=v=1 (the GL texture convention the golden
+    rasterizer uses)."""
+    h, w = img.shape[:2]
+    x = jnp.clip(u, 0.0, 1.0) * (w - 1)
+    y = jnp.clip(v, 0.0, 1.0) * (h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(w - 2, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(h - 2, 0))
+    fx = x - x0
+    fy = y - y0
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    a = img[y0, x0]
+    b = img[y0, x1]
+    c = img[y1, x0]
+    d = img[y1, x1]
+    return ((1 - fy) * ((1 - fx) * a + fx * b)
+            + fy * ((1 - fx) * c + fx * d))
+
+
+def _triangulated_surface(vertex_z: jax.Array, u: jax.Array,
+                          v: jax.Array) -> jax.Array:
+    """Sample the TRIANGULATED vertex grid at normalized coords (sh, sw).
+
+    Each grid cell is split along its TL→BR diagonal into two planar
+    triangles (the triangulation a GL grid mesh renders); interpolation is
+    linear within each triangle — NOT the bilinear patch ``jax.image.resize``
+    would produce, which differs in saddle cells.
+    """
+    gh, gw = vertex_z.shape
+    gx = jnp.clip(u, 0.0, 1.0) * (gw - 1)
+    gy = jnp.clip(v, 0.0, 1.0) * (gh - 1)
+    ix = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, max(gw - 2, 0))
+    iy = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, max(gh - 2, 0))
+    fx = gx - ix
+    fy = gy - iy
+    tl = vertex_z[iy, ix]
+    tr = vertex_z[iy, jnp.minimum(ix + 1, gw - 1)]
+    bl = vertex_z[jnp.minimum(iy + 1, gh - 1), ix]
+    br = vertex_z[jnp.minimum(iy + 1, gh - 1), jnp.minimum(ix + 1, gw - 1)]
+    lower = tl + fy * (bl - tl) + fx * (br - bl)   # triangle (tl, bl, br)
+    upper = tl + fx * (tr - tl) + fy * (br - tr)   # triangle (tl, br, tr)
+    return jnp.where(fx > fy, upper, lower)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fov_y_deg", "mesh_density", "out_hw",
                                     "supersample"))
@@ -178,33 +228,37 @@ def render_novel_views_mesh(image: jax.Array, depth01: jax.Array,
                             displacement_factor: float = 4.0,
                             mesh_density: int = 8,
                             out_hw: tuple[int, int] | None = None,
-                            supersample: int = 2) -> jax.Array:
+                            supersample: int = 3) -> jax.Array:
     """Displaced-MESH novel views — the reference's renderer geometry
     (benchmark.py:865-1037: textured grid mesh, density 8, displaced by
     depth) expressed TPU-natively.
 
-    The mesh is a (2^density+1)² vertex grid over the textured quad whose z
-    comes from sampling the depth map at the vertices; the *surface* between
-    vertices (what a GL rasterizer interpolates across triangles) is realised
-    by piecewise-linear interpolation of the vertex grid onto a
-    ``supersample``×-denser-than-output sample grid, which is then
-    forward-splatted with a z-buffer. As density → pixel resolution this
-    converges to per-pixel DIBR; at density 8 the depth surface is the same
-    256×256-cell mesh the reference rasterizes, so ``mesh_density`` is a real
-    geometric parameter (coarser density ⇒ visibly smoother parallax).
+    The mesh is a (2^density+1)² vertex grid over the textured quad, vertex
+    ``(i, j)`` at texture corner ``(j/(gw-1), i/(gh-1))`` with z sampled
+    align-corners from the depth map — exactly the geometry of
+    :func:`raster_reference.displaced_grid_mesh`. The *surface* a GL
+    rasterizer interpolates across the two triangles of each cell is realised
+    by triangle-aware linear interpolation onto a ``supersample``×-denser-
+    than-output sample grid (odd supersample ⇒ one sample lands exactly on
+    every output pixel centre), then forward-splatted with a z-buffer.
+    Validated against the host-side golden triangle rasterizer at
+    SSIM ≥ 0.95 across densities (tests/test_raster_golden.py).
     """
     h, w = image.shape[:2]
     out_h, out_w = out_hw or (h, w)
     # vertex grid: 2^density cells per side (capped at image resolution)
     gh = min((1 << mesh_density) + 1, h)
     gw = min((1 << mesh_density) + 1, w)
-    vertex_z = jax.image.resize(depth01 * displacement_factor, (gh, gw),
-                                "linear")
-    # rasterized surface: linear interpolation across mesh cells, sampled
+    gu, gv = jnp.meshgrid(jnp.linspace(0.0, 1.0, gw),
+                          jnp.linspace(0.0, 1.0, gh))
+    vertex_z = _grid_sample_ac(depth01 * displacement_factor, gu, gv)
+    # rasterized surface: triangle interpolation across mesh cells, sampled
     # supersample× denser than the output so every output pixel is covered
     sh, sw = supersample * out_h, supersample * out_w
-    surf_z = jax.image.resize(vertex_z, (sh, sw), "linear")
-    surf_rgb = jax.image.resize(image[..., :3], (sh, sw, 3), "linear")
+    su, sv = jnp.meshgrid((jnp.arange(sw) + 0.5) / sw,
+                          (jnp.arange(sh) + 0.5) / sh)
+    surf_z = _triangulated_surface(vertex_z, su, sv)
+    surf_rgb = _grid_sample_ac(image[..., :3], su, sv)
     points, colors = _quad_points(surf_rgb, surf_z, fov_y_deg, (h, w))
     return _splat_views(points, colors, views, fov_y_deg, (out_h, out_w))
 

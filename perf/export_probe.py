@@ -66,9 +66,13 @@ def main():
 
     path = "/tmp/enb0_hu_b%d.edz" % BATCH
     t0 = time.perf_counter()
+    # dtype=bf16 even though the tree is already bf16: dtype also controls
+    # the ACTIVATION cast inside _pipeline. dtype=None (round-2 bug, see
+    # ADVICE.md) ran the artifact with f32 activations against the live
+    # path's bf16 activations — an apples-to-oranges 3x "gap".
     meta = save_serving_artifact(
         path, model, variables, encoder="efficientnet-b0", decoder="hu2018",
-        batch=BATCH, dtype=None)  # tree already bf16; avoid double cast
+        batch=BATCH, dtype=jnp.bfloat16)
     t_export = time.perf_counter() - t0
     size_mb = os.path.getsize(path) / 1e6
     print(f"exported in {t_export:.1f}s, {size_mb:.1f} MB, meta={meta}",

@@ -60,41 +60,41 @@ def _midas_state(tm, encoder_name, num_features):
 
 
 @_config("ENB0-HU")
-def _enb0_hu():
-    torch.manual_seed(10)
+def _enb0_hu(seed=10):
+    torch.manual_seed(seed)
     enc = TorchEfficientNetFeatures("efficientnet-b0")
-    tm = randomize_bn_stats(TorchHuModel(enc, 320, [24, 40, 80, 320]), seed=10)
+    tm = randomize_bn_stats(TorchHuModel(enc, 320, [24, 40, 80, 320]), seed=seed)
     buf = _save(efficientnet_export_keys(tm.state_dict(), enc.splits))
     return tm, buf, build_model("efficientnet-b0", "hu2018"), INPUT_HW, "E"
 
 
 @_config("ENB4-HU")
-def _enb4_hu():
-    torch.manual_seed(11)
+def _enb4_hu(seed=11):
+    torch.manual_seed(seed)
     enc = TorchEfficientNetFeatures("efficientnet-b4")
     assert enc.splits == (0, 6, 10, 22, 32)
     assert enc.block_out_channels == [32, 56, 160, 448]
-    tm = randomize_bn_stats(TorchHuModel(enc, 448, [32, 56, 160, 448]), seed=11)
+    tm = randomize_bn_stats(TorchHuModel(enc, 448, [32, 56, 160, 448]), seed=seed)
     buf = _save(efficientnet_export_keys(tm.state_dict(), enc.splits))
     return tm, buf, build_model("efficientnet-b4", "hu2018"), INPUT_HW, "E"
 
 
 @_config("RN50-HU")
-def _rn50_hu():
-    torch.manual_seed(12)
+def _rn50_hu(seed=12):
+    torch.manual_seed(seed)
     tm = randomize_bn_stats(
         TorchHuModel(TorchResNetFeatures((3, 4, 6, 3)), 2048,
-                     [256, 512, 1024, 2048]), seed=12)
+                     [256, 512, 1024, 2048]), seed=seed)
     buf = _save(tm.state_dict())
     return tm, buf, build_model("resnet50", "hu2018"), INPUT_HW, "E"
 
 
 @_config("SN154-HU")
-def _senet_hu():
-    torch.manual_seed(13)
+def _senet_hu(seed=13):
+    torch.manual_seed(seed)
     tm = randomize_bn_stats(
         TorchHuModel(TorchSENetFeatures(layers=(3, 8, 36, 3)), 2048,
-                     [256, 512, 1024, 2048]), seed=13)
+                     [256, 512, 1024, 2048]), seed=seed)
     # released senet checkpoints use 'se_' keys (reside_model.py:42-43)
     sd = {k.replace("se_module.", "se_"): v for k, v in tm.state_dict().items()}
     buf = _save(sd)
@@ -102,22 +102,22 @@ def _senet_hu():
 
 
 @_config("DN161-HU")
-def _densenet_hu():
-    torch.manual_seed(14)
+def _densenet_hu(seed=14):
+    torch.manual_seed(seed)
     tm = randomize_bn_stats(
         TorchHuModel(TorchDenseNetFeatures(96, 48, (6, 12, 36, 24)), 2208,
-                     [192, 384, 1056, 2208]), seed=14)
+                     [192, 384, 1056, 2208]), seed=seed)
     buf = _save(densenet_export_keys(tm.state_dict()))
     return tm, buf, build_model("densenet161", "hu2018"), INPUT_HW, "E"
 
 
 @_config("RN50-LR")
-def _rn50_lr():
-    torch.manual_seed(15)
+def _rn50_lr(seed=15):
+    torch.manual_seed(seed)
     h, w = INPUT_HW
     tm = randomize_bn_stats(
         TorchMidasNet(layers=(3, 4, 6, 3), block_channels=(256, 512, 1024, 2048),
-                      output_size_hw=(h // 2, w // 2)), seed=15)
+                      output_size_hw=(h // 2, w // 2)), seed=seed)
     buf = _save(_midas_state(tm, "resnet50", 256))
     jm = build_model("resnet50", "lasinger2019",
                      output_size=(h // 2, w // 2), input_size=INPUT_HW)
@@ -141,13 +141,13 @@ def _eff_lr(variant, channels, seed):
 
 
 @_config("ENB0-LR")
-def _enb0_lr():
-    return _eff_lr("efficientnet-b0", (24, 40, 80, 320), seed=16)
+def _enb0_lr(seed=16):
+    return _eff_lr("efficientnet-b0", (24, 40, 80, 320), seed=seed)
 
 
 @_config("ENB4-LR")
-def _enb4_lr():
-    return _eff_lr("efficientnet-b4", (32, 56, 160, 448), seed=17)
+def _enb4_lr(seed=17):
+    return _eff_lr("efficientnet-b4", (32, 56, 160, 448), seed=seed)
 
 
 def torch_taps(tm, x_nchw):
