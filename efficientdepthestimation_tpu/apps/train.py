@@ -108,6 +108,10 @@ def parse_args(args: Optional[List[str]] = None):
                              "steps *within* an epoch (0 = per-epoch only). "
                              "Bounds work lost to a hard kill to N steps; "
                              "resume is exact either way.")
+    parser.add_argument("--cache-ram", action="store_true",
+                        help="cache decoded images in RAM after first epoch "
+                             "(PNG decode dominates on few-core hosts; "
+                             "~1.2 GB per 1000 NYU-sized pairs)")
     parser.add_argument("--stop-after-steps", default=None, type=int,
                         help="Deterministically trigger the preemption path "
                              "after N global steps (testing hook for the "
@@ -181,8 +185,10 @@ def main(args: Optional[List[str]] = None):
     variables = init_variables(model, crop, batch=2, seed=args.seed)
     steps_per_epoch = None  # filled below once dataset size is known
 
-    train_ds = DepthPairDataset(args.train_csv, is_test=False)
-    test_ds = DepthPairDataset(args.test_csv, is_test=True)
+    train_ds = DepthPairDataset(args.train_csv, is_test=False,
+                                cache_in_ram=args.cache_ram)
+    test_ds = DepthPairDataset(args.test_csv, is_test=True,
+                               cache_in_ram=args.cache_ram)
     steps_per_epoch = max(1, len(train_ds) // batch_size)
 
     frozen = ("E", "encoder") if args.freeze_encoder else ()

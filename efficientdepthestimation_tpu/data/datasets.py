@@ -49,9 +49,26 @@ class DepthPairDataset:
     is_test: bool = False
     use_native: bool = True
     image_hw: tuple[int, int] = (480, 640)
+    cache_in_ram: bool = False
+    """Keep decoded uint8/uint16 arrays in RAM after first touch — PNG
+    decode on a 1-core host otherwise dominates multi-epoch training
+    (~1.2 GB per 1000 NYU-sized pairs; epochs 2+ skip decode entirely)."""
 
     def load_batch(self, indices) -> tuple[np.ndarray, np.ndarray] | None:
         """Decode a whole batch natively; None → caller falls back to PIL."""
+        if self.cache_in_ram:
+            cached = [self._cache.get(int(i)) for i in indices]
+            if all(c is not None for c in cached):
+                return (np.stack([c[0] for c in cached]),
+                        np.stack([c[1] for c in cached]))
+        result = self._load_batch_uncached(indices)
+        if result is not None and self.cache_in_ram:
+            images, depths = result
+            for k, i in enumerate(indices):
+                self._cache[int(i)] = (images[k], depths[k])
+        return result
+
+    def _load_batch_uncached(self, indices):
         if not self.use_native:
             return None
         try:
@@ -75,6 +92,7 @@ class DepthPairDataset:
     def __post_init__(self):
         root = os.path.dirname(os.path.abspath(self.csv_file))
         self.rows: list[tuple[str, str]] = []
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         with open(self.csv_file, newline="") as f:
             for row in csv.reader(f):
                 if not row:
@@ -90,8 +108,13 @@ class DepthPairDataset:
         return len(self.rows)
 
     def __getitem__(self, idx: int) -> tuple[np.ndarray, np.ndarray]:
+        if self.cache_in_ram and idx in self._cache:
+            return self._cache[idx]
         image_path, depth_path = self.rows[idx]
-        return _load_rgb(image_path), _load_depth(depth_path)
+        pair = _load_rgb(image_path), _load_depth(depth_path)
+        if self.cache_in_ram:
+            self._cache[idx] = pair
+        return pair
 
 
 @dataclass
