@@ -29,6 +29,15 @@ v5e) but may be exported symbolically (``batch=None``) so one artifact
 serves any batch size — each concrete size compiles once at the serving
 site, where :func:`apps.common.make_tiled_infer_fn`-style tiling can sit on
 top.
+
+**Measured cost of the artifact path** (PERFORMANCE.md "AOT serving
+artifacts", v5e b32 e2e): the deserialized module returns bit-identical
+outputs but serves at ~0.4× the live-jit rate (212 vs 541 fps) —
+``Exported.call`` re-enters through ``xla.call_module`` per call instead
+of dispatching a cached executable — and large baked exports can hit a
+compile-scaling cliff (b128+bf16+baked did not compile in 28 min; b32 is
+~2 min). Use artifacts for portability/interchange and cold-start; serve
+hot fixed-checkpoint traffic live via ``apps.common.make_serving_fn``.
 """
 
 from __future__ import annotations

@@ -96,13 +96,23 @@ def create_train_state(model, variables, tx: optax.GradientTransformation) -> Tr
     )
 
 
+#: Explicit rematerialization policies for the forward pass (round-3 remat
+#: experiments, PERFORMANCE.md "Training remat"). ``None`` leaves XLA's
+#: auto-remat in charge; "full" recomputes the whole forward during the
+#: backward pass (minimum activation memory); "dots" saves matmul/conv
+#: contraction results and recomputes the cheap elementwise tissue.
+REMAT_POLICIES = ("full", "dots")
+
+
 def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
                     pallas_interpret: bool = False, donate: bool = True,
                     mixed_precision: bool = False,
                     crop_hw: tuple = (228, 304),
                     split_preprocess: bool = False,
                     state_shardings=None,
-                    dw_impl: str = "xla"):
+                    dw_impl: str = "xla",
+                    remat: str | None = None,
+                    accum_steps: int = 1):
     """Build the jit'd train step.
 
     ``preprocess=True`` takes raw uint8 batches (image 480×640×3, depth
@@ -133,7 +143,8 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
             use_pallas_loss=use_pallas_loss, preprocess=False,
             pallas_interpret=pallas_interpret, donate=donate,
             mixed_precision=mixed_precision, crop_hw=crop_hw,
-            state_shardings=state_shardings, dw_impl=dw_impl)
+            state_shardings=state_shardings, dw_impl=dw_impl,
+            remat=remat, accum_steps=accum_steps)
 
         @jax.jit
         def pre_step(step, batch, rng):
@@ -150,6 +161,33 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
 
         return train_step
 
+    if remat is not None and remat not in REMAT_POLICIES:
+        raise ValueError(f"remat must be one of {REMAT_POLICIES}, got {remat!r}")
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def _forward(apply_fn, apply_params, batch_stats, images, rng_drop):
+        with depthwise_impl(dw_impl):  # trace-time lowering choice
+            return apply_fn(
+                {"params": apply_params, "batch_stats": batch_stats},
+                images, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng_drop},
+            )
+
+    if remat == "full":
+        _forward = jax.checkpoint(_forward, static_argnums=(0,))
+    elif remat == "dots":
+        _forward = jax.checkpoint(
+            _forward, static_argnums=(0,),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    def _compute_loss(out, depths, num_valid):
+        if use_pallas_loss:
+            return fused_depth_loss(out, depths, pallas_interpret,
+                                    num_valid=num_valid)
+        return depth_loss(out, depths, num_valid=num_valid)
+
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         rng_aug, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
         # Optional validity count: pad_last duplicates in the final batch of
@@ -163,7 +201,7 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
         if mixed_precision:
             images = images.astype(jnp.bfloat16)
 
-        def loss_fn(params):
+        def cast_params(params):
             # Mixed precision casts the WHOLE param tree once here (grads
             # flow back to the f32 master copy through the cast's VJP). The
             # optimization_barrier is load-bearing: without it XLA fuses the
@@ -171,31 +209,84 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
             # falls off a 40x cliff at batch >= 96 on v5e (1807 -> 44 ms
             # forward at ENB0 batch 128; perf/train_probe.py). The barrier
             # forces real bf16 weight buffers before the convs.
-            apply_params = params
-            if mixed_precision:
-                apply_params = jax.lax.optimization_barrier(
-                    jax.tree_util.tree_map(
-                        lambda v: v.astype(jnp.bfloat16)
-                        if v.dtype == jnp.float32 else v, params))
-            with depthwise_impl(dw_impl):  # trace-time lowering choice
-                out, updates = state.apply_fn(
-                    {"params": apply_params, "batch_stats": state.batch_stats},
-                    images, True,
-                    mutable=["batch_stats"],
-                    rngs={"dropout": rng_drop},
-                )
-            if use_pallas_loss:
-                loss = fused_depth_loss(out, depths, pallas_interpret,
-                                        num_valid=num_valid)
-            else:
-                loss = depth_loss(out, depths, num_valid=num_valid)
-            return loss, (out, updates["batch_stats"])
+            if not mixed_precision:
+                return params
+            return jax.lax.optimization_barrier(
+                jax.tree_util.tree_map(
+                    lambda v: v.astype(jnp.bfloat16)
+                    if v.dtype == jnp.float32 else v, params))
 
-        (loss, (out, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        if accum_steps == 1:
+            def loss_fn(params):
+                out, updates = _forward(state.apply_fn, cast_params(params),
+                                        state.batch_stats, images, rng_drop)
+                loss = _compute_loss(out, depths, num_valid)
+                return loss, (out, updates["batch_stats"])
+
+            (loss, (out, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads, new_stats)
+            metrics = depth_metrics_batch(out, depths, num_valid=num_valid)
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        # ---- microbatch gradient accumulation (effective batch > HBM) ----
+        # Each microbatch's loss is rescaled by its share of the valid
+        # samples, so the accumulated gradient equals the monolithic
+        # masked-batch gradient by linearity; BN statistics stream through
+        # the microbatches sequentially (documented semantic difference from
+        # one joint batch: BN normalizes per microbatch).
+        n = images.shape[0]
+        if n % accum_steps:
+            raise ValueError(f"batch {n} not divisible by accum_steps "
+                             f"{accum_steps}")
+        micro = n // accum_steps
+        imgs_m = images.reshape(accum_steps, micro, *images.shape[1:])
+        deps_m = depths.reshape(accum_steps, micro, *depths.shape[1:])
+        if num_valid is None:
+            valid_m = jnp.full((accum_steps,), micro, jnp.int32)
+            total_valid = jnp.asarray(n, jnp.float32)
+        else:
+            valid_m = jnp.clip(num_valid - jnp.arange(accum_steps) * micro,
+                               0, micro).astype(jnp.int32)
+            total_valid = jnp.maximum(num_valid, 1).astype(jnp.float32)
+        rngs_m = jax.random.split(rng_drop, accum_steps)
+
+        params = state.params
+
+        def micro_loss(p, stats, imgs, deps, vcount, r):
+            out, updates = _forward(state.apply_fn, cast_params(p), stats,
+                                    imgs, r)
+            # max(vcount, 1) keeps the masked denominator nonzero for an
+            # all-padding microbatch (its weight below is 0 anyway; a 0/0
+            # NaN would otherwise poison the backward pass)
+            loss = _compute_loss(out, deps, jnp.maximum(vcount, 1))
+            scaled = loss * (vcount.astype(jnp.float32) / total_valid)
+            return scaled, (out, updates["batch_stats"])
+
+        def body(carry, xs):
+            stats, grad_acc, loss_acc, metric_acc = carry
+            imgs, deps, vcount, r = xs
+            (scaled, (out, new_stats)), grads = jax.value_and_grad(
+                micro_loss, has_aux=True)(params, stats, imgs, deps, vcount, r)
+            grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+            sums = depth_metrics_batch(out, deps, num_valid=vcount)
+            metric_acc = jax.tree_util.tree_map(jnp.add, metric_acc, sums)
+            return (new_stats, grad_acc, scaled + loss_acc, metric_acc), ()
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        # metric sums are scalars; shapes of the probe inputs are irrelevant
+        zero_metrics = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(depth_metrics_batch, jnp.zeros((1, 1, 1, 1)),
+                           jnp.zeros((1, 1, 1, 1))))
+        (new_stats, grads, loss, metrics), _ = jax.lax.scan(
+            body, (state.batch_stats, zero_grads, jnp.float32(0.0),
+                   zero_metrics),
+            (imgs_m, deps_m, valid_m, rngs_m))
         new_state = state.apply_gradients(grads, new_stats)
-        metrics = depth_metrics_batch(out, depths, num_valid=num_valid)
+        metrics = dict(metrics)
         metrics["loss"] = loss
         return new_state, metrics
 

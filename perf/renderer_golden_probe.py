@@ -22,6 +22,7 @@ from efficientdepthestimation_tpu.benchmark.renderer import (
     reference_camera_animation,
     render_novel_views,
     render_novel_views_mesh,
+    render_novel_views_raymarch,
 )
 from efficientdepthestimation_tpu.data.synthetic_nyu import render_scene
 
@@ -60,9 +61,14 @@ def main():
                 mesh_density=density))
             splat = np.asarray(render_novel_views(
                 jnp.asarray(image), jnp.asarray(depth01), jnp.asarray(views)))
+            march = np.asarray(render_novel_views_raymarch(
+                jnp.asarray(image), jnp.asarray(depth01), jnp.asarray(views),
+                mesh_density=density))
             ms, mp = compare(golden, mesh)
             ss, sp = compare(golden, splat)
+            rs, rp = compare(golden, march)
             row = {"scene": seed, "density": density,
+                   "raymarch_ssim": round(rs, 4), "raymarch_psnr": round(rp, 2),
                    "mesh_ssim": round(ms, 4), "mesh_psnr": round(mp, 2),
                    "splat_ssim": round(ss, 4), "splat_psnr": round(sp, 2)}
             rows.append(row)

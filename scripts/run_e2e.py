@@ -136,24 +136,30 @@ def main():
     ]
     t0 = time.time()
     launch_time = time.time()
-    proc = subprocess.Popen(
-        [py, "-m", "efficientdepthestimation_tpu.apps.train"] + train_flags,
-        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-    log(f"train launched (pid {proc.pid}); waiting for "
-        f"{args.preempt_after_epochs} epochs before SIGTERM...")
-    run_dir_a = None
-    while proc.poll() is None:
-        time.sleep(5)
-        try:
-            run_dir_a = newest_run_dir(launch_time)
-        except AssertionError:
-            continue
-        if len(read_log(run_dir_a)) >= args.preempt_after_epochs:
-            log(f"{args.preempt_after_epochs} epochs logged -> SIGTERM")
-            time.sleep(3)  # land mid-epoch, not at the boundary
-            proc.send_signal(signal.SIGTERM)
-            break
-    stdout_a, _ = proc.communicate()
+    train_log_a = os.path.join(args.work_dir, "train_a.log")
+    with open(train_log_a, "w") as log_f:
+        # stdout must go to a FILE: a PIPE left undrained fills its 64 KB
+        # buffer within the first epoch's progress lines and deadlocks the
+        # child mid-write
+        proc = subprocess.Popen(
+            [py, "-m", "efficientdepthestimation_tpu.apps.train"] + train_flags,
+            cwd=REPO, stdout=log_f, stderr=subprocess.STDOUT, text=True)
+        log(f"train launched (pid {proc.pid}); waiting for "
+            f"{args.preempt_after_epochs} epochs before SIGTERM...")
+        run_dir_a = None
+        while proc.poll() is None:
+            time.sleep(5)
+            try:
+                run_dir_a = newest_run_dir(launch_time)
+            except AssertionError:
+                continue
+            if len(read_log(run_dir_a)) >= args.preempt_after_epochs:
+                log(f"{args.preempt_after_epochs} epochs logged -> SIGTERM")
+                time.sleep(3)  # land mid-epoch, not at the boundary
+                proc.send_signal(signal.SIGTERM)
+                break
+        proc.wait()
+    stdout_a = open(train_log_a).read()
     assert run_dir_a is not None
     assert "Preempted at epoch" in stdout_a, stdout_a[-2000:]
     rolling = os.path.join(run_dir_a, "train_state.ede")

@@ -29,14 +29,15 @@ from efficientdepthestimation_tpu.benchmark.renderer import (
     reference_camera_animation,
     render_novel_views,
     render_novel_views_mesh,
+    render_novel_views_raymarch,
 )
 from efficientdepthestimation_tpu.data.synthetic_nyu import render_scene
 
 HW = (96, 128)
 
 
-def _scene():
-    rgb_u8, depth_m = render_scene(0, hw=HW)
+def _scene(seed=0):
+    rgb_u8, depth_m = render_scene(seed, hw=HW)
     image = rgb_u8.astype(np.float32) / 255.0
     d = depth_m.astype(np.float32)
     return image, (d - d.min()) / (d.max() - d.min())
@@ -62,6 +63,23 @@ def test_mesh_renderer_matches_golden_rasterizer(density):
         mesh_density=density))
     s = _ssim(golden, mesh)
     assert s >= 0.95, f"density {density}: SSIM vs golden {s:.4f} < 0.95"
+
+
+@pytest.mark.parametrize("seed,density", [(0, 4), (0, 8), (3, 4), (3, 8)])
+def test_raymarch_renderer_matches_golden_exactly(seed, density):
+    """The ray-marched engine must hit golden-rasterizer fidelity even on
+    the high-discontinuity scene (seed 3: 30% near-foreground pixels) at
+    capped density — the regime where the splat-based paths lose coverage
+    in stretched occlusion triangles."""
+    image, depth01 = _scene(seed)
+    views = _views(4)
+    golden = rasterize_views(image, depth01, views, mesh_density=density)
+    rm = np.asarray(render_novel_views_raymarch(
+        jnp.asarray(image), jnp.asarray(depth01), jnp.asarray(views),
+        mesh_density=density))
+    s = _ssim(golden, rm)
+    assert s >= 0.97, (
+        f"scene {seed} density {density}: raymarch SSIM {s:.4f} < 0.97")
 
 
 def test_splat_renderer_quantified_against_golden():

@@ -1,0 +1,128 @@
+"""Round-3 training levers: microbatch gradient accumulation + explicit remat.
+
+- ``accum_steps=k`` streams k microbatches through forward/backward inside
+  one step (lax.scan), rescaling each microbatch loss by its valid share so
+  the accumulated gradient equals the monolithic masked-batch gradient by
+  linearity. BN stats stream sequentially (documented difference: BN
+  normalizes per microbatch), so exactness is asserted on a batch made of
+  IDENTICAL microbatch copies — there BN sees the same statistics and the
+  update must match the single-microbatch step exactly.
+- ``remat='full'|'dots'`` wraps the forward in ``jax.checkpoint``;
+  gradients must match the un-remat step (same math, recomputed).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from efficientdepthestimation_tpu.models import build_model
+from efficientdepthestimation_tpu.training.train_step import create_train_state
+
+
+def _tiny_state():
+    """SGD state: Adam's sign-like update turns float-reassociation noise on
+    near-zero gradients into ±lr flips, which would make exact-equivalence
+    assertions flaky; SGD updates are proportional to the gradient."""
+    model = build_model("resnet18", "hu2018")
+    x = jnp.zeros((2, 32, 48, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, x
+    )
+    return model, create_train_state(model, variables, optax.sgd(1e-3))
+
+
+def _batch(rng, n=4):
+    return {
+        "image": jnp.asarray(rng.standard_normal((n, 32, 48, 3),
+                                                 dtype=np.float32)),
+        "depth": jnp.asarray(rng.uniform(1, 9, (n, 16, 24, 1)).astype(np.float32)),
+    }
+
+
+def _leaves(tree):
+    return [np.asarray(x) for x in jax.tree_util.tree_leaves(tree)]
+
+
+def test_accum_matches_single_step_on_duplicated_microbatch(rng):
+    from efficientdepthestimation_tpu.training.train_step import make_train_step
+
+    _, state_a = _tiny_state()
+    _, state_b = _tiny_state()
+    small = _batch(rng, 2)
+    doubled = {k: jnp.concatenate([v, v]) for k, v in small.items()}
+
+    single = make_train_step(preprocess=False, donate=False)
+    accum = make_train_step(preprocess=False, donate=False, accum_steps=2)
+    key = jax.random.PRNGKey(7)
+    new_a, m_a = single(state_a, small, key)
+    new_b, m_b = accum(state_b, doubled, key)
+    # same per-microbatch data + same dropout key per micro? dropout keys
+    # differ per microbatch by design; this tiny model has dropout only in
+    # the decoder head at rate 0 — exactness holds. Loss must agree.
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(_leaves(new_a.params), _leaves(new_b.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_accum_padded_tail_matches_monolithic_gradient(rng):
+    """num_valid masking through accumulation, with BN statistics held
+    constant by construction: the batch is [x1, x2, x1, x2] with
+    num_valid=2, so the monolithic batch-of-4 BN stats equal each
+    microbatch's (x1, x2) stats, and the second microbatch is ALL padding
+    (valid count 0 — exercising the 0-weight guard). The accumulated
+    parameter update must equal the monolithic masked step's exactly.
+
+    (With arbitrary data, train-mode BN normalizes over different sample
+    sets in the two paths — a documented semantic difference of
+    accumulation, not a gradient bug.)"""
+    from efficientdepthestimation_tpu.training.train_step import make_train_step
+
+    _, state_a = _tiny_state()
+    _, state_b = _tiny_state()
+    small = _batch(rng, 2)
+    batch = {k: jnp.concatenate([v, v]) for k, v in small.items()}
+    batch["num_valid"] = jnp.asarray(2, jnp.int32)
+
+    mono = make_train_step(preprocess=False, donate=False)
+    accum = make_train_step(preprocess=False, donate=False, accum_steps=2)
+    key = jax.random.PRNGKey(3)
+    new_a, m_a = mono(state_a, batch, key)
+    new_b, m_b = accum(state_b, batch, key)
+    assert np.isfinite(float(m_b["loss"]))
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(_leaves(new_a.params), _leaves(new_b.params)):
+        # batch-4 and batch-2 programs tile convs differently → per-sample
+        # rounding differs at ~2e-5; a dropped/double-counted microbatch
+        # would show at the full update magnitude (~1e-2)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+    # metric sums count only the 2 valid samples on both paths
+    assert float(m_a["batch_size"]) == float(m_b["batch_size"]) == 2.0
+
+
+@pytest.mark.parametrize("remat", ["full", "dots"])
+def test_remat_matches_no_remat(rng, remat):
+    from efficientdepthestimation_tpu.training.train_step import make_train_step
+
+    _, state_a = _tiny_state()
+    _, state_b = _tiny_state()
+    batch = _batch(rng, 2)
+    key = jax.random.PRNGKey(11)
+    base = make_train_step(preprocess=False, donate=False)
+    rem = make_train_step(preprocess=False, donate=False, remat=remat)
+    new_a, m_a = base(state_a, batch, key)
+    new_b, m_b = rem(state_b, batch, key)
+    assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+    for a, b in zip(_leaves(new_a.params), _leaves(new_b.params)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_bad_arguments_raise():
+    from efficientdepthestimation_tpu.training.train_step import make_train_step
+
+    with pytest.raises(ValueError, match="remat"):
+        make_train_step(remat="bogus")
+    with pytest.raises(ValueError, match="accum_steps"):
+        make_train_step(accum_steps=0)
