@@ -22,7 +22,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_CONFIGS = ("efficientnet-b0:hu2018,efficientnet-b4:hu2018,"
-                   "resnet50:hu2018,efficientnet-b0:lasinger2019,"
+                   "resnet50:hu2018,senet154:hu2018,densenet161:hu2018,"
+                   "efficientnet-b0:lasinger2019,efficientnet-b4:lasinger2019,"
                    "resnet50:lasinger2019")
 
 
