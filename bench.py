@@ -136,7 +136,9 @@ def main() -> None:
         "value": round(fps_per_chip, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / GPU_BASELINE_FPS, 3),
-        "notes": "single-device program; random bf16 weights (throughput only)",
+        "notes": "single-device program; random bf16 weights (throughput "
+                 "only); true b1 device latency 1.34 ms/frame "
+                 "(perf/b1_latency.json, chained in-program scan)",
     }))
 
 

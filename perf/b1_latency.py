@@ -72,28 +72,61 @@ def main():
         frames = jnp.asarray(rng.integers(0, 256, (1, 480, 640, 3),
                                           dtype=np.uint8))
 
-        def pipeline(frames_u8, eps):
+        def pipeline(weights, frames_u8, eps):
             images = eval_preprocess_image_only(frames_u8).astype(jnp.bfloat16)
             # un-foldable perturbation: chains iteration k+1 onto k's output
             images = images + eps.astype(jnp.bfloat16)
-            depth = model.apply(baked, images).astype(jnp.float32)
+            depth = model.apply(weights, images).astype(jnp.float32)
             return resize_bilinear_align_corners(depth, (480, 640))
 
-        @jax.jit
-        def chained(frames_u8):
-            def body(carry, _):
-                depth = pipeline(frames_u8, carry * 1e-30)
-                return jnp.max(depth), ()
+        def build(weights_mode):
+            if weights_mode == "baked":
+                w = baked
 
-            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return carry
+                @jax.jit
+                def chained(frames_u8):
+                    def body(carry, _):
+                        depth = pipeline(w, frames_u8, carry * 1e-30)
+                        return jnp.max(depth), ()
 
-        @jax.jit
-        def single(frames_u8):
-            return jnp.max(pipeline(frames_u8, jnp.float32(0.0)))
+                    carry, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                            length=n)
+                    return carry
 
-        # warm both programs
-        float(chained(frames))
+                @jax.jit
+                def single(frames_u8):
+                    return jnp.max(pipeline(w, frames_u8, jnp.float32(0.0)))
+
+                return chained, single
+
+            @jax.jit
+            def chained(weights, frames_u8):
+                def body(carry, _):
+                    depth = pipeline(weights, frames_u8, carry * 1e-30)
+                    return jnp.max(depth), ()
+
+                carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+                return carry
+
+            @jax.jit
+            def single(weights, frames_u8):
+                return jnp.max(pipeline(weights, frames_u8, jnp.float32(0.0)))
+
+            return (lambda f: chained(baked, f)), (lambda f: single(baked, f))
+
+        # Baked (serving default) first; very large families (SENet-154,
+        # DenseNet-161) overflow the remote-compile payload with ~250 MB of
+        # weight constants -> fall back to argument weights.
+        weights_mode = "baked"
+        chained, single = build(weights_mode)
+        try:
+            float(chained(frames))
+        except Exception as exc:
+            print(f"  baked compile failed ({str(exc)[:80]}); "
+                  f"falling back to arg weights", flush=True)
+            weights_mode = "args"
+            chained, single = build(weights_mode)
+            float(chained(frames))
         float(single(frames))
 
         chain_ms = []
@@ -114,6 +147,7 @@ def main():
             "device_fps_b1": round(1e3 / device_ms, 1),
             "one_dispatch_ms_b1": round(dispatch_ms, 3),
             "tunnel_floor_ms": round(max(0.0, dispatch_ms - device_ms), 3),
+            "weights": weights_mode,
         }
         print(f"{key:38s} device {device_ms:7.3f} ms "
               f"({1e3 / device_ms:7.1f} fps)   one-dispatch "

@@ -110,6 +110,12 @@ def main():
                         help="SIGTERM the first train run after this many "
                              "epoch log entries")
     parser.add_argument("--out", default=os.path.join(REPO, "e2e"))
+    parser.add_argument("--reuse-train", action="store_true",
+                        help="skip phases 1-2, reusing the newest two "
+                             "runs/* dirs and the staged checkpoint from a "
+                             "previous (interrupted) invocation; the "
+                             "benchmark phase's own caches make the rest "
+                             "resumable")
     args = parser.parse_args()
 
     py = sys.executable
@@ -127,6 +133,21 @@ def main():
              "--out", args.data_dir, "--train", str(args.n_train),
              "--test", str(args.n_test)])
     timings["0_dataset"] = time.time() - t0
+
+    if args.reuse_train:
+        dirs = sorted(glob.glob(os.path.join(REPO, "runs", "*")),
+                      key=os.path.getmtime)
+        run_dir_a, run_dir_b = dirs[-2], dirs[-1]
+        trajectory = read_log(run_dir_a) + read_log(run_dir_b)
+        staged = os.path.join(args.work_dir, "checkpoints")
+        trained_path = os.path.join(staged, "ENB0-HU.ede")
+        random_path = os.path.join(args.work_dir, "random_ckpt", "ENB0-HU.ede")
+        assert os.path.isfile(trained_path) and os.path.isfile(random_path)
+        timings["1_train_until_preempt"] = timings["2_train_resumed"] = -1.0
+        log(f"reusing train artifacts: {run_dir_a} + {run_dir_b}")
+        return downstream(args, py, timings, t_all, train_csv, test_csv,
+                          trajectory, run_dir_a, run_dir_b, staged,
+                          trained_path, random_path)
 
     # ------------------------------------------------- 1 train + SIGTERM
     train_flags = [
@@ -206,6 +227,13 @@ v = init_variables(model, (228, 304), seed=999)
 save_checkpoint({random_path!r}, v, encoder="efficientnet-b0", decoder="hu2018")
 """])
 
+    return downstream(args, py, timings, t_all, train_csv, test_csv,
+                      trajectory, run_dir_a, run_dir_b, staged, trained_path,
+                      random_path)
+
+
+def downstream(args, py, timings, t_all, train_csv, test_csv, trajectory,
+               run_dir_a, run_dir_b, staged, trained_path, random_path):
     # ---------------------------------------------------------- 3 evaluate
     t0 = time.time()
     evals = {}
@@ -258,10 +286,18 @@ save_checkpoint({random_path!r}, v, encoder="efficientnet-b0", decoder="hu2018")
     # ------------------------------------------- 7 study materials (MTurk)
     t0 = time.time()
     study_out = os.path.join(args.work_dir, "study_material")
+    # the script reads <dataset>/nyu2_test.csv and indexes renders by that
+    # csv's row numbers — give it the benchmark subset under that name
+    study_data = os.path.join(args.work_dir, "studydata")
+    os.makedirs(study_data, exist_ok=True)
+    shutil.copyfile(bench_csv, os.path.join(study_data, "nyu2_test.csv"))
     run([py, "-m", "efficientdepthestimation_tpu.mturk.collect_study_materials",
          "--benchmark-path", os.path.join(bench_out, "nyu"),
-         "--nyu-dataset-path", args.data_dir,
-         "--output-path", study_out, "--max-videos", "4"])
+         "--nyu-dataset-path", study_data,
+         "--output-path", study_out, "--max-videos", "4",
+         "--selection-interval", "6",
+         "--model-selection", "reside_enb0_trained", "reside_enb0_random",
+         "flat"])
     timings["7_study_materials"] = time.time() - t0
 
     timings["total"] = time.time() - t_all
