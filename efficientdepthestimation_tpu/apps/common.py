@@ -462,9 +462,15 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     # Fixed-checkpoint batch serving defaults to constant-baked weights
     # (measured: ENB0-HU 2128→3698 fps, RN50-HU 774→1328 fps at b128 —
     # perf/const_weights_probe.py); pass bake_weights=False to keep the
-    # compile reusable across checkpoints.
+    # compile reusable across checkpoints. Very large weight trees are the
+    # exception: ≥200 MB of baked constants overflows tunneled
+    # remote-compile transports (SENet-154 measured HTTP 413 on axon —
+    # perf/b1_latency.json), so the auto default keeps those as arguments.
     if bake_weights is None:
-        bake_weights = True
+        param_bytes = sum(
+            int(np.prod(np.shape(v))) * (2 if dtype is not None else 4)
+            for v in jax.tree_util.tree_leaves(variables))
+        bake_weights = param_bytes < 200e6
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
     # Baked monolithic beats staged everywhere EXCEPT wide-top int8 serving,
     # where the quantized staged path keeps its lead (RN50 b128: staged+int8
