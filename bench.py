@@ -22,6 +22,7 @@ publish numbers, BASELINE.md). vs_baseline = fps_per_chip / 30.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 GPU_BASELINE_FPS = 30.0
@@ -81,11 +82,25 @@ def main() -> None:
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 256, (BATCH, 480, 640, 3), dtype=np.uint8))
 
-    init_images = jnp.zeros((BATCH, 228, 304, 3), jnp.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        init_images,
-    )
+    # Prefer the committed TRAINED checkpoint (the round-3 E2E artifact,
+    # scripts/run_e2e.py — 21.5 MB, vs the reference ENB0-HU's 20.6 MB):
+    # real weight values measured ~8% slower than random init through the
+    # baked path (perf/trained_weights_bench.json, 3473 vs 3759 fps), so
+    # benching the trained artifact is the honest headline.
+    trained_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "e2e", "ENB0-HU-synthetic.ede")
+    weights_note = "trained ENB0-HU (synthetic-NYU e2e artifact)"
+    if os.path.isfile(trained_path):
+        from efficientdepthestimation_tpu.apps.common import load_any_checkpoint
+
+        model, variables = load_any_checkpoint(trained_path)
+    else:
+        weights_note = "random bf16 weights (throughput only)"
+        init_images = jnp.zeros((BATCH, 228, 304, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            init_images,
+        )
     # bfloat16 weights + activations (MXU-native). The weight tree is
     # device_put FIRST, then closure-captured so jit bakes it as
     # compile-time constants: XLA folds the BatchNorm affines into adjacent
@@ -136,9 +151,9 @@ def main() -> None:
         "value": round(fps_per_chip, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / GPU_BASELINE_FPS, 3),
-        "notes": "single-device program; random bf16 weights (throughput "
-                 "only); true b1 device latency 1.34 ms/frame "
-                 "(perf/b1_latency.json, chained in-program scan)",
+        "notes": f"single-device program; {weights_note}; true b1 device "
+                 "latency 1.34 ms/frame (perf/b1_latency.json, chained "
+                 "in-program scan)",
     }))
 
 
