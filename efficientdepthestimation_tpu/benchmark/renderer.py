@@ -519,7 +519,17 @@ def create_rendered_images(output_dir: str, image_loader, depth_loader=None,
     times = np.arange(n_anim + initial_delay) / fps
     views = np.stack([animation.transform_at(t) for t in times]).astype(np.float32)
 
+    expected_stills = 1 + (n_anim - 1) // fps  # one per second after delay
+
     for i, sample in enumerate(samples):
+        # per-sample cache: a crash/preemption mid-sweep resumes here
+        # instead of redoing every finished sample (phase-level caching is
+        # the reference's own crash-resume mechanism, benchmark.py:724-733)
+        video_path = os.path.join(video_dir, f"{i:06d}.avi")
+        sample_frame_dir = os.path.join(frame_dir, f"{i:06d}")
+        if (os.path.isfile(video_path) and os.path.isdir(sample_frame_dir)
+                and len(os.listdir(sample_frame_dir)) >= expected_stills):
+            continue
         image = np.asarray(sample["image"], np.float32)
         if image.max() > 1.5:
             image = image / 255.0
