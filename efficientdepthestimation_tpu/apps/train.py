@@ -108,6 +108,13 @@ def parse_args(args: Optional[List[str]] = None):
                              "steps *within* an epoch (0 = per-epoch only). "
                              "Bounds work lost to a hard kill to N steps; "
                              "resume is exact either way.")
+    parser.add_argument("--accum-steps", default=1, type=int,
+                        help="microbatch gradient accumulation inside the "
+                             "step; the per-device batch must divide by it. "
+                             "Effective batches past the ~128/chip HBM knee "
+                             "hold the b128 rate this way (RN50 b256: 363 "
+                             "img/s accumulated vs 59 XLA-auto-remat — "
+                             "PERFORMANCE.md 'Training remat')")
     parser.add_argument("--cache-ram", action="store_true",
                         help="cache decoded images in RAM after first epoch "
                              "(PNG decode dominates on few-core hosts; "
@@ -224,7 +231,8 @@ def main(args: Optional[List[str]] = None):
     train_step = make_train_step(use_pallas_loss=args.use_pallas_loss,
                                  mixed_precision=args.bf16, crop_hw=crop,
                                  split_preprocess=args.split_preprocess,
-                                 state_shardings=state_shardings)
+                                 state_shardings=state_shardings,
+                                 accum_steps=args.accum_steps)
     eval_step = make_eval_step()
     grad_snapshot = make_grad_snapshot(use_pallas_loss=args.use_pallas_loss,
                                        mixed_precision=args.bf16, crop_hw=crop)

@@ -34,16 +34,48 @@ PEAK_FLOPS = 197e12
 PEAK_BW = 819e9
 
 
-def chained_time(fn, *args, warmup=3, iters=10):
+def _scalarize(out):
+    """A tiny dispatch whose result data-depends on ``out`` — reducing each
+    iteration's output to a scalar immediately lets its big buffers free
+    while still forcing execution (block_until_ready is unreliable through
+    the axon tunnel, PERFORMANCE.md:3-9, and unobserved duplicate
+    computations could otherwise be elided)."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return jnp.sum(leaf.astype(jnp.float32))
+
+
+def chained_time_state(step, state, batch, key, warmup=3, iters=10):
+    """Timer for DONATED train steps: the state threads through iterations
+    (buffers recycle in place, as apps/train.py runs it) and the loss
+    scalar accumulates — one fetch fences every step."""
+    acc = 0.0
+    s = state
+    for _ in range(warmup + 1):
+        s, m = step(s, batch, key)
+        acc = acc + m["loss"]
+    float(acc)
+    acc = 0.0
     t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs[-1])
+    for _ in range(iters):
+        s, m = step(s, batch, key)
+        acc = acc + m["loss"]
+    float(acc)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def chained_time(fn, *args, warmup=3, iters=10):
+    acc = 0.0
+    for _ in range(warmup + 1):
+        acc = acc + _scalarize(fn(*args))
+    float(acc)
+    acc = 0.0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = acc + _scalarize(fn(*args))
+    float(acc)  # one host fetch depending on every iteration
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -105,6 +137,15 @@ def main():
             lambda v: v.astype(jnp.bfloat16)
             if v.dtype == jnp.float32 else v, p))(state.params)
 
+        def try_stage(name, fn, *fargs):
+            try:
+                stages[name] = {"ms": chained_time(fn, *fargs),
+                                **cost_of(fn, *fargs)}
+            except Exception as exc:  # per-stage OOM (e.g. un-remat b256 bwd)
+                stages[name] = {"error": str(exc)[:160]}
+                print(f"b{batch:<4d} {name:12s} FAILED: {str(exc)[:100]}",
+                      flush=True)
+
         # ---- stage: preprocess
         pre = jax.jit(lambda r, i, d: train_preprocess(r, i, d))
         stages = {}
@@ -120,9 +161,7 @@ def main():
             return out
 
         jfwd = jax.jit(fwd)
-        stages["forward"] = {
-            "ms": chained_time(jfwd, bf16_params, state.batch_stats, images16),
-            **cost_of(jfwd, bf16_params, state.batch_stats, images16)}
+        try_stage("forward", jfwd, bf16_params, state.batch_stats, images16)
 
         # ---- stage: forward+backward (loss grad wrt params)
         def fwdbwd(p, stats, x, d):
@@ -134,19 +173,31 @@ def main():
             return jax.grad(lf)(p)
 
         jfb = jax.jit(fwdbwd)
-        stages["fwd_bwd"] = {
-            "ms": chained_time(jfb, bf16_params, state.batch_stats, images16,
-                               depths),
-            **cost_of(jfb, bf16_params, state.batch_stats, images16, depths)}
+        if batch <= 128:
+            try_stage("fwd_bwd", jfb, bf16_params, state.batch_stats,
+                      images16, depths)
+        else:
+            # the un-remat standalone backward provably cannot fit at b256
+            # (b128 already keeps 147 GB of traffic); attempting it OOMs
+            # AND leaves the arena fragmented enough to poison later
+            # measurements, so it is skipped by construction
+            stages["fwd_bwd"] = {"skipped": "needs remat beyond b128"}
 
-        # ---- stage: full step (monolithic, as apps/train.py runs it)
-        step = make_train_step(mixed_precision=True, donate=False)
+        # ---- stage: full step (monolithic+donated, as apps/train.py runs it)
+        step = make_train_step(mixed_precision=True)
         batch_dict = {"image": raw_img, "depth": raw_dep}
-        stages["full_step"] = {
-            "ms": chained_time(step, state, batch_dict, key),
-            **cost_of(step, state, batch_dict, key)}
+        try:
+            stages["full_step"] = {
+                "ms": chained_time_state(step, fresh_state(), batch_dict, key),
+                **cost_of(step, fresh_state(), batch_dict, key)}
+        except Exception as exc:
+            stages["full_step"] = {"error": str(exc)[:160]}
+            print(f"b{batch:<4d} full_step    FAILED: {str(exc)[:100]}",
+                  flush=True)
 
         for name, s in stages.items():
+            if "error" in s or "skipped" in s:
+                continue
             s["roofline_ms"] = round(roofline_ms(s), 2)
             s["roofline_frac"] = round(s["roofline_ms"] / s["ms"], 3)
             s["ms"] = round(s["ms"], 2)
@@ -159,6 +210,9 @@ def main():
                   f"{s['gflops']:.0f} GF {s['gbytes']:.1f} GB", flush=True)
         report["stages"][f"b{batch}"] = stages
 
+        # free the stage temporaries before the races — at b256 they pin
+        # ~600 MB that the remat races need for activation headroom
+        del images, depths, images16, bf16_params, state
         # ---- races: remat policies + accumulation
         races = {}
         for label, kwargs in (
@@ -167,11 +221,10 @@ def main():
                 ("remat_dots", {"remat": "dots"}),
                 ("accum2", {"accum_steps": 2}),
         ):
-            st = fresh_state()
-            stp = make_train_step(mixed_precision=True, donate=False, **kwargs)
+            stp = make_train_step(mixed_precision=True, **kwargs)
             try:
-                ms = chained_time(stp, st, batch_dict, key)
-                cost = cost_of(stp, st, batch_dict, key)
+                ms = chained_time_state(stp, fresh_state(), batch_dict, key)
+                cost = cost_of(stp, fresh_state(), batch_dict, key)
             except Exception as exc:  # OOM etc. — record and continue
                 races[label] = {"error": str(exc)[:200]}
                 print(f"b{batch:<4d} race {label:12s} FAILED: {exc}",
