@@ -462,20 +462,27 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     # Fixed-checkpoint batch serving defaults to constant-baked weights
     # (measured: ENB0-HU 2128→3698 fps, RN50-HU 774→1328 fps at b128 —
     # perf/const_weights_probe.py); pass bake_weights=False to keep the
-    # compile reusable across checkpoints. Very large weight trees are the
-    # exception: ≥200 MB of baked constants overflows tunneled
-    # remote-compile transports (SENet-154 measured HTTP 413 on axon —
-    # perf/b1_latency.json), so the auto default keeps those as arguments.
+    # compile reusable across checkpoints.
+    param_bytes = sum(
+        int(np.prod(np.shape(v))) * (2 if dtype is not None else 4)
+        for v in jax.tree_util.tree_leaves(variables))
+    # ≥200 MB of baked constants overflows tunneled remote-compile
+    # transports as ONE module (SENet-154: HTTP 413 — perf/b1_latency.json);
+    # STAGED programs keep each stage's constants under the limit, and
+    # staged+bake measured 779 img/s vs 640 arg-weights for SN154-HU b128
+    # (perf/serving_policy_v5e.json). Monolithic huge models fall back to
+    # argument weights.
+    huge = param_bytes >= 200e6
     if bake_weights is None:
-        param_bytes = sum(
-            int(np.prod(np.shape(v))) * (2 if dtype is not None else 4)
-            for v in jax.tree_util.tree_leaves(variables))
-        bake_weights = param_bytes < 200e6
+        bake_weights = True
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
     # Baked monolithic beats staged everywhere EXCEPT wide-top int8 serving,
     # where the quantized staged path keeps its lead (RN50 b128: staged+int8
     # 1401-1453 fps vs baked-mono+int8 1297 — perf/bake_sweep_hu2018_b128.json)
-    staged = wide_top and batch_hint >= 128 and (int8 or not bake_weights)
+    staged = wide_top and batch_hint >= 128 and (int8 or not bake_weights
+                                                 or huge)
+    if huge and not staged:
+        bake_weights = False
     if batch_hint > 128:
         return make_tiled_infer_fn(model, variables, staged=staged,
                                    upsample_to=upsample_to, dtype=dtype,
