@@ -463,8 +463,14 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     # (measured: ENB0-HU 2128→3698 fps, RN50-HU 774→1328 fps at b128 —
     # perf/const_weights_probe.py); pass bake_weights=False to keep the
     # compile reusable across checkpoints.
+    # Size at the dtype the weights will actually be served at: the explicit
+    # serving dtype's itemsize when given (bf16=2, but an explicit f32 is 4,
+    # not 2 — ADVICE r3), else each leaf's own storage dtype.
+    itemsize = None if dtype is None else jnp.dtype(dtype).itemsize
     param_bytes = sum(
-        int(np.prod(np.shape(v))) * (2 if dtype is not None else 4)
+        int(np.prod(np.shape(v)))
+        * (itemsize if itemsize is not None
+           else np.dtype(getattr(v, "dtype", np.float32)).itemsize)
         for v in jax.tree_util.tree_leaves(variables))
     # ≥200 MB of baked constants overflows tunneled remote-compile
     # transports as ONE module (SENet-154: HTTP 413 — perf/b1_latency.json);
@@ -473,6 +479,7 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     # (perf/serving_policy_v5e.json). Monolithic huge models fall back to
     # argument weights.
     huge = param_bytes >= 200e6
+    explicit_bake = bake_weights is True
     if bake_weights is None:
         bake_weights = True
     wide_top = getattr(model, "block_channel", (0,))[-1] >= 1024
@@ -482,6 +489,14 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
     staged = wide_top and batch_hint >= 128 and (int8 or not bake_weights
                                                  or huge)
     if huge and not staged:
+        if explicit_bake:
+            import warnings
+
+            warnings.warn(
+                f"bake_weights=True overridden to False: {param_bytes/1e6:.0f}"
+                " MB of monolithic baked constants overflows tunneled"
+                " remote-compile transports (HTTP 413); use the staged path"
+                " (batch >= 128 on a wide-top model) to serve baked.")
         bake_weights = False
     if batch_hint > 128:
         return make_tiled_infer_fn(model, variables, staged=staged,

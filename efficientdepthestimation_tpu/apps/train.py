@@ -92,6 +92,15 @@ def parse_args(args: Optional[List[str]] = None):
                         help="Train the decoder only (lasinger2019.py:36-38).")
     parser.add_argument("--resume", default=None, type=str,
                         help="Path to a train-state checkpoint for exact resume.")
+    parser.add_argument("--init-from", default=None, type=str,
+                        help="Initialize model weights (params + BN stats) "
+                             "from a saved model checkpoint (.ede/.pth, "
+                             "either format) with a FRESH optimizer/schedule "
+                             "— fine-tuning, e.g. decoder-only refinement "
+                             "with --freeze-encoder (the reference's "
+                             "Encoder(freeze_weights=True) workflow, "
+                             "lasinger2019.py:36-38). Mutually exclusive "
+                             "with --resume.")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--crop-hw", nargs=2, type=int, default=[228, 304],
                         metavar=("H", "W"),
@@ -189,7 +198,22 @@ def main(args: Optional[List[str]] = None):
                             output_size=(crop[0] // 2, crop[1] // 2),
                             input_size=crop)
 
-    variables = init_variables(model, crop, batch=2, seed=args.seed)
+    if args.init_from and args.resume:
+        raise SystemExit("--init-from and --resume are mutually exclusive: "
+                         "--resume restores the optimizer exactly, "
+                         "--init-from starts a fresh fine-tune")
+    if args.init_from:
+        from efficientdepthestimation_tpu.apps.common import (
+            load_any_checkpoint,
+        )
+
+        _, variables = load_any_checkpoint(args.init_from, model=model,
+                                           example_input_hw=crop)
+        if is_main:
+            print(f"Initialized weights from {args.init_from} "
+                  "(fresh optimizer)")
+    else:
+        variables = init_variables(model, crop, batch=2, seed=args.seed)
     steps_per_epoch = None  # filled below once dataset size is known
 
     train_ds = DepthPairDataset(args.train_csv, is_test=False,

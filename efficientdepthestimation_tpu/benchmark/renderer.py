@@ -521,15 +521,10 @@ def create_rendered_images(output_dir: str, image_loader, depth_loader=None,
 
     expected_stills = 1 + (n_anim - 1) // fps  # one per second after delay
 
-    for i, sample in enumerate(samples):
-        # per-sample cache: a crash/preemption mid-sweep resumes here
-        # instead of redoing every finished sample (phase-level caching is
-        # the reference's own crash-resume mechanism, benchmark.py:724-733)
-        video_path = os.path.join(video_dir, f"{i:06d}.avi")
-        sample_frame_dir = os.path.join(frame_dir, f"{i:06d}")
-        if (os.path.isfile(video_path) and os.path.isdir(sample_frame_dir)
-                and len(os.listdir(sample_frame_dir)) >= expected_stills):
-            continue
+    def dispatch_render(i):
+        """Host-side prep + async device render; returns in-flight uint8
+        frames (device) without blocking on the computation."""
+        sample = samples[i]
         image = np.asarray(sample["image"], np.float32)
         if image.max() > 1.5:
             image = image / 255.0
@@ -546,33 +541,68 @@ def create_rendered_images(output_dir: str, image_loader, depth_loader=None,
         depth01 = (depth - dmin) / (dmax - dmin + np.finfo(np.float32).tiny)
 
         if method == "mesh":
-            frames = np.asarray(render_novel_views_mesh(
+            frames = render_novel_views_mesh(
                 jnp.asarray(image), jnp.asarray(depth01), jnp.asarray(views),
                 fov_y_deg=18.0, displacement_factor=displacement_factor,
-                mesh_density=mesh_density))
+                mesh_density=mesh_density)
         elif method == "raymarch":
-            frames = np.asarray(render_novel_views_raymarch(
+            frames = render_novel_views_raymarch(
                 jnp.asarray(image), jnp.asarray(depth01), jnp.asarray(views),
                 fov_y_deg=18.0, displacement_factor=displacement_factor,
-                mesh_density=mesh_density))
+                mesh_density=mesh_density)
         else:
-            frames = np.asarray(render_novel_views(
+            frames = render_novel_views(
                 jnp.asarray(image), jnp.asarray(depth01), jnp.asarray(views),
-                fov_y_deg=18.0, displacement_factor=displacement_factor))
-        frames_u8 = (255 * frames).astype(np.uint8)
+                fov_y_deg=18.0, displacement_factor=displacement_factor)
+        # quantize on device: 4x less D2H transfer than fetching float32
+        return (jnp.clip(frames, 0.0, 1.0) * 255.0).astype(jnp.uint8), w, h
 
+    def encode_sample(i, frames_dev, w, h):
+        """Host encode (worker thread): blocks on the device fetch here, not
+        in the dispatch loop, so sample i+1 renders while i encodes — the
+        reference's AsyncImageWriter/AsyncVideoWriter overlap
+        (Benchmark/benchmark.py:947-962). The video lands under a temp name
+        and is renamed only after release(), so the per-sample resume cache
+        never trusts a truncated file from a mid-encode crash."""
+        frames_u8 = np.asarray(frames_dev)
         sample_frame_dir = os.path.join(frame_dir, f"{i:06d}")
         os.makedirs(sample_frame_dir, exist_ok=True)
+        video_path = os.path.join(video_dir, f"{i:06d}.avi")
+        tmp_path = os.path.join(video_dir, f".tmp-{i:06d}.avi")
         writer = cv2.VideoWriter(
-            os.path.join(video_dir, f"{i:06d}.avi"),
-            cv2.VideoWriter_fourcc(*"DIVX"), fps, (w, h))
+            tmp_path, cv2.VideoWriter_fourcc(*"DIVX"), fps, (w, h))
         for k, frame in enumerate(frames_u8):
             writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
             if k >= initial_delay and (k - initial_delay) % fps == 0:
                 Image.fromarray(frame).save(
                     os.path.join(sample_frame_dir, f"{k:06d}.png"))
         writer.release()
-        print(f"\rProgress: [{i:02d}/{num_frames:02d}] {timer.elapsed}", end="")
+        os.replace(tmp_path, video_path)
+
+    import concurrent.futures as cf
+
+    encode_workers = max(1, min(4, (os.cpu_count() or 2) - 1))
+    max_inflight = encode_workers + 1  # bounds device-side frame buffers
+    inflight: list[cf.Future] = []
+    with cf.ThreadPoolExecutor(max_workers=encode_workers) as pool:
+        for i in range(num_frames):
+            # per-sample cache: a crash/preemption mid-sweep resumes here
+            # instead of redoing every finished sample (phase-level caching
+            # is the reference's own crash-resume mechanism,
+            # benchmark.py:724-733)
+            video_path = os.path.join(video_dir, f"{i:06d}.avi")
+            sample_frame_dir = os.path.join(frame_dir, f"{i:06d}")
+            if (os.path.isfile(video_path) and os.path.isdir(sample_frame_dir)
+                    and len(os.listdir(sample_frame_dir)) >= expected_stills):
+                continue
+            frames_dev, w, h = dispatch_render(i)
+            inflight.append(pool.submit(encode_sample, i, frames_dev, w, h))
+            while len(inflight) >= max_inflight:
+                inflight.pop(0).result()
+            print(f"\rProgress: [{i:02d}/{num_frames:02d}] {timer.elapsed}",
+                  end="")
+        for fut in inflight:
+            fut.result()
     print()
     timer.stop()
     return timer.elapsed

@@ -176,12 +176,25 @@ def save_serving_artifact(path, model, variables, *, encoder: str,
     return meta
 
 
-def load_serving_artifact(path):
+def load_serving_artifact(path, *, bake_on_load: bool = False):
     """Deserialize an artifact → ``(fn, meta)``.
 
     ``fn(frames_u8) -> depth_f32`` runs the exported module; only ``jax``
     (and for arg-weight artifacts ``flax.serialization``) is needed — no
     model code. Each concrete input shape compiles once (cached by jit).
+
+    The call is wrapped in an outer :func:`jax.jit`: a bare
+    ``Exported.call`` re-traces through ``xla.call_module`` on every
+    invocation (~0.4× the live rate, PERFORMANCE.md "AOT serving
+    artifacts"); under jit the module lowers once and every later call is
+    a cached-executable dispatch.
+
+    ``bake_on_load=True`` (arg-weight artifacts only): close the restored
+    weight tree over the jit as host constants instead of passing it as
+    arguments — the serving site gets the same constant-folding speedup as
+    a baked export (+47–68 %, PERFORMANCE.md) while the ARTIFACT stays
+    small and compiles fast (the b128 baked-module compile cliff lives in
+    the exported constants, not in baking per se).
     """
     from jax import export as jexport
 
@@ -196,13 +209,20 @@ def load_serving_artifact(path):
                 zf.read(_WEIGHTS_MEMBER))
 
     if weights is None:
-        def fn(frames_u8):
-            return exported.call(frames_u8)
+        if bake_on_load:
+            raise ValueError(
+                "bake_on_load applies to arg-weight artifacts; this "
+                "artifact's weights are already baked into the module")
+        fn = jax.jit(exported.call)
+    elif bake_on_load:
+        # numpy leaves close over the trace as embedded constants
+        fn = jax.jit(lambda frames_u8: exported.call(weights, frames_u8))
     else:
-        weights = jax.device_put(weights)
+        device_weights = jax.device_put(weights)
+        call = jax.jit(exported.call)
 
         def fn(frames_u8):
-            return exported.call(weights, frames_u8)
+            return call(device_weights, frames_u8)
 
     return fn, meta
 

@@ -271,7 +271,14 @@ def make_train_step(*, use_pallas_loss: bool = False, preprocess: bool = True,
             (scaled, (out, new_stats)), grads = jax.value_and_grad(
                 micro_loss, has_aux=True)(params, stats, imgs, deps, vcount, r)
             grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-            sums = depth_metrics_batch(out, deps, num_valid=vcount)
+            # Same max(vcount, 1) guard as the loss: an all-padding
+            # microbatch has num_valid_px == 0 and the raw sums are 0/0 NaN,
+            # which would poison the scan carry and the epoch tracker. Keep
+            # the denominator nonzero and zero the (weightless) sums instead.
+            sums = depth_metrics_batch(out, deps,
+                                       num_valid=jnp.maximum(vcount, 1))
+            sums = jax.tree_util.tree_map(
+                lambda s: jnp.where(vcount > 0, s, jnp.zeros_like(s)), sums)
             metric_acc = jax.tree_util.tree_map(jnp.add, metric_acc, sums)
             return (new_stats, grad_acc, scaled + loss_acc, metric_acc), ()
 

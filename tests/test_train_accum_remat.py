@@ -92,6 +92,15 @@ def test_accum_padded_tail_matches_monolithic_gradient(rng):
     new_a, m_a = mono(state_a, batch, key)
     new_b, m_b = accum(state_b, batch, key)
     assert np.isfinite(float(m_b["loss"]))
+    # the all-padding microbatch must not poison the metric sums with 0/0
+    # NaN (ADVICE r3 medium). log10 is excluded from the finiteness check:
+    # an untrained model emitting a negative output at a valid pixel makes
+    # log10 NaN by the reference's own (bug-compatible) semantics on BOTH
+    # paths — that NaN is data, not the accumulation bug.
+    for name in ("mae", "mse", "abs_rel", "delta1", "delta2", "delta3"):
+        assert np.isfinite(float(m_b[name])), f"{name} NaN through accum"
+        np.testing.assert_allclose(float(m_a[name]), float(m_b[name]),
+                                   rtol=1e-4, atol=1e-6)
     assert np.isclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
     for a, b in zip(_leaves(new_a.params), _leaves(new_b.params)):
         # batch-4 and batch-2 programs tile convs differently → per-sample

