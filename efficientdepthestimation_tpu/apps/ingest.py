@@ -15,6 +15,10 @@ check against the published table.
     ede-ingest --download --out-dir checkpoints/released \
         --test-csv data/nyu2_test.csv --expect-published
 
+    # the NYU-v2 training data too (zip/tarball or extracted tree;
+    # README.md:12) -> ready-to-train data/nyu2_{train,test}.csv
+    ede-ingest --dataset-only --source-dir /mnt/artifacts --data-out data
+
 Outputs, per checkpoint found: an imported-and-verified native EDE
 checkpoint next to the original, plus ``INGEST_REPORT.json`` summarising
 every validation. With ``--expect-published`` (requires ``--test-csv``
@@ -49,6 +53,12 @@ _LPIPS_SOURCES = {
         "https://github.com/richzhang/PerceptualSimilarity/raw/master/"
         "lpips/weights/v0.1/alex.pth",
 }
+# NYU-v2 training data (reference README.md:12 — Google Drive file id)
+_DATASET_URL = ("https://drive.google.com/uc?export=download&"
+                "id=1WoOZOBpOWfmwe7bknWS5PMUCLBPFKTOw")
+_DATASET_ARCHIVE = "nyu_data.zip"
+# the reference's published split sizes (informational — loaddata.py:44,73)
+_EXPECTED_COUNTS = {"train": 50688, "test": 654}
 
 
 def _acquire(name: str, url: str, source_dir: Optional[str],
@@ -157,6 +167,163 @@ def _accuracy_check(path: str, test_csv: str, tolerance: float) -> dict:
     }
 
 
+def _find_dataset_source(source_dir: Optional[str], data_out: str,
+                         download: bool) -> Optional[str]:
+    """An archive (zip/tar) or an already-extracted tree containing
+    ``nyu2_train.csv``. ``None`` when nothing is reachable."""
+    if source_dir:
+        for root, _, files in os.walk(source_dir):
+            if "nyu2_train.csv" in files:
+                return root  # extracted tree
+        for name in sorted(os.listdir(source_dir)):
+            if name.endswith((".zip", ".tar", ".tar.gz", ".tgz")):
+                return os.path.join(source_dir, name)
+    return _acquire(_DATASET_ARCHIVE, _DATASET_URL, None, data_out, download)
+
+
+def _extract_archive(archive: str, dest: str) -> str:
+    import tarfile
+    import zipfile
+
+    os.makedirs(dest, exist_ok=True)
+    print(f"extracting {archive} -> {dest}")
+    if archive.endswith(".zip"):
+        with zipfile.ZipFile(archive) as zf:
+            zf.extractall(dest)
+    else:
+        with tarfile.open(archive) as tf:
+            tf.extractall(dest)
+    return dest
+
+
+def _locate(tree: str, name: str) -> Optional[str]:
+    for root, _, files in os.walk(tree):
+        if name in files:
+            return os.path.join(root, name)
+    return None
+
+
+def _normalize_csv(src_csv: str, tree: str, out_csv: str) -> dict:
+    """Rewrite a reference split CSV with absolute, verified paths.
+
+    The reference zip's rows are repo-root-relative (``data/nyu2_train/...``,
+    loaddata.py:44) while our loader resolves relative rows against the
+    CSV's own directory (data/datasets.py) — resolve each row against every
+    plausible root and write what actually exists."""
+    import csv as csv_mod
+
+    csv_dir = os.path.dirname(os.path.abspath(src_csv))
+    roots = [csv_dir, os.path.dirname(csv_dir), tree,
+             os.path.dirname(tree.rstrip(os.sep))]
+
+    def resolve(rel: str) -> Optional[str]:
+        rel = rel.strip()
+        if os.path.isabs(rel):
+            return rel if os.path.isfile(rel) else None
+        for root in roots:
+            cand = os.path.join(root, rel)
+            if os.path.isfile(cand):
+                return os.path.abspath(cand)
+        return None
+
+    kept, dropped = 0, 0
+    with open(src_csv, newline="") as f_in, \
+            open(out_csv, "w", newline="") as f_out:
+        writer = csv_mod.writer(f_out)
+        for row in csv_mod.reader(f_in):
+            if not row:
+                continue
+            image, depth = resolve(row[0]), resolve(row[1])
+            if image and depth:
+                writer.writerow([image, depth])
+                kept += 1
+            else:
+                dropped += 1
+    return {"csv": out_csv, "rows": kept, "dropped": dropped}
+
+
+def _validate_split(csv_path: str, is_test: bool, sample_k: int = 8) -> dict:
+    """Decode a few pairs and check the load-bearing depth conventions:
+    8-bit PNG train depths (×10/255 m), 16-bit PNG test depths (÷1000 m)
+    — nyu_transform.py:170-175."""
+    import numpy as np
+    from PIL import Image
+
+    from efficientdepthestimation_tpu.data import DepthPairDataset
+
+    ds = DepthPairDataset(csv_path, is_test=is_test, use_native=False)
+    n = len(ds)
+    idx = sorted({0, n // 2, n - 1} | set(range(min(sample_k, n))))
+    depths_m = []
+    bit_ok, image_ok = True, True
+    for i in idx:
+        image_path, depth_path = ds.rows[i]
+        img = Image.open(image_path)
+        image_ok &= img.mode in ("RGB", "L") and img.size[0] >= img.size[1]
+        dep = Image.open(depth_path)
+        arr = np.asarray(dep)
+        if is_test:
+            bit_ok &= arr.dtype in (np.uint16, np.int32)
+            depths_m.append(arr.astype(np.float64) / 1000.0)
+        else:
+            bit_ok &= arr.dtype == np.uint8
+            depths_m.append(arr.astype(np.float64) / 255.0 * 10.0)
+    stacked = np.concatenate([d.ravel() for d in depths_m])
+    rng_ok = (0.0 <= float(stacked.min())
+              and float(np.percentile(stacked, 99)) <= 12.0
+              and float(stacked.std()) > 0.01)
+    split = "test" if is_test else "train"
+    return {
+        "rows": n,
+        "expected_rows": _EXPECTED_COUNTS[split],
+        "matches_reference_count": n == _EXPECTED_COUNTS[split],
+        "bit_depth_ok": bool(bit_ok),
+        "images_ok": bool(image_ok),
+        "depth_range_m": [float(stacked.min()), float(stacked.max())],
+        "structural_ok": bool(bit_ok and image_ok and rng_ok),
+    }
+
+
+def _ingest_dataset(source_dir: Optional[str], download: bool,
+                    data_out: str) -> dict:
+    """Acquire → extract → normalize CSVs → validate conventions. The result
+    is a ready-to-train ``data_out/nyu2_{train,test}.csv`` pair in the exact
+    layout every CLI consumes (loaddata.py:32-85)."""
+    os.makedirs(data_out, exist_ok=True)
+    source = _find_dataset_source(source_dir, data_out, download)
+    if source is None:
+        return {"structural_ok": False, "error": "no dataset source found "
+                "(mount the nyu_data.zip / extracted tree via --source-dir "
+                "or pass --download with egress)"}
+    if os.path.isdir(source):
+        tree = source
+    else:
+        tree = _extract_archive(source, os.path.join(data_out, "_extracted"))
+    report: dict = {"source": source, "tree": tree}
+    ok = True
+    for split in ("train", "test"):
+        src_csv = _locate(tree, f"nyu2_{split}.csv")
+        if src_csv is None:
+            report[split] = {"structural_ok": False,
+                            "error": f"nyu2_{split}.csv not found"}
+            ok = False
+            continue
+        out_csv = os.path.join(data_out, f"nyu2_{split}.csv")
+        entry = _normalize_csv(src_csv, tree, out_csv)
+        if entry["rows"] == 0:
+            entry.update(structural_ok=False, error="no resolvable rows")
+            ok = False
+        else:
+            entry.update(_validate_split(out_csv, is_test=(split == "test")))
+            ok &= entry["structural_ok"]
+        report[split] = entry
+        status = "ok" if entry.get("structural_ok") else "FAIL"
+        print(f"[{status:^7}] dataset {split}: {entry.get('rows', 0)} rows "
+              f"-> {entry.get('csv', '-')}")
+    report["structural_ok"] = bool(ok)
+    return report
+
+
 def main(args: Optional[List[str]] = None):
     parser = argparse.ArgumentParser(
         description="Acquire/convert/validate the released artifacts")
@@ -174,11 +341,33 @@ def main(args: Optional[List[str]] = None):
                              "--tolerance (needs --test-csv)")
     parser.add_argument("--tolerance", type=float, default=0.002)
     parser.add_argument("--report", type=str, default="INGEST_REPORT.json")
+    parser.add_argument("--dataset", action="store_true",
+                        help="also acquire/convert the real NYU-v2 training "
+                             "data (README.md:12) into the reference csv "
+                             "layout at --data-out")
+    parser.add_argument("--dataset-only", action="store_true",
+                        help="ingest the dataset and skip checkpoint/LPIPS "
+                             "acquisition")
+    parser.add_argument("--data-out", type=str, default="data")
     args = parser.parse_args(args)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    report: dict = {"checkpoints": {}, "lpips": None, "accuracy": {}}
+    report: dict = {"checkpoints": {}, "lpips": None, "accuracy": {},
+                    "dataset": None}
     ok = True
+
+    if args.dataset or args.dataset_only:
+        entry = _ingest_dataset(args.source_dir, args.download, args.data_out)
+        report["dataset"] = entry
+        ok &= entry["structural_ok"]
+        if args.dataset_only:
+            report["ok"] = bool(ok)
+            with open(args.report, "w") as f:
+                json.dump(report, f, indent=2)
+            print(f"report -> {args.report} (ok={ok})")
+            if not ok:
+                raise SystemExit(1)
+            return report
 
     for name in RELEASED:
         path = _acquire(name, _RELEASE_BASE + name, args.source_dir,

@@ -6,21 +6,32 @@ user-centred benchmark → study materials), on a synthetic-NYU dataset with
 real depth structure — the closest offline analogue to the unreachable
 real-NYU validation (VERDICT round 2, "Next round" #1).
 
+Round 4 extends the rehearsal to BOTH reference decoders
+(`/root/reference/run_experiments.bat:15-22` trains hu2018 AND lasinger2019):
+the MiDaS/lasinger2019 path now trains end-to-end with best-by-abs_rel
+checkpoints through the self-describing ``save_midas`` format
+(ReSIDE/lasinger2019.py:372-415), its own REAL mid-run SIGTERM + exact
+resume, and a frozen-encoder fine-tune segment
+(Encoder(freeze_weights=True), lasinger2019.py:36-38). The benchmark then
+ranks BOTH trained models against random-weights and flat baselines.
+
 Phases:
   0. generate the synthetic dataset (data/synthetic_nyu.py) if absent;
   1. train ENB0-HU with the reference recipe (20 epochs, Adam 1e-4,
      wd 1e-4, StepLR(5, 0.1), batch 8, best-by-abs_rel —
-     ReSIDE/train.py:104-161), sending a REAL ``SIGTERM`` mid-run;
-  2. resume from the preemption checkpoint to completion;
-  3. evaluate the best checkpoint (edge metrics; batch 1 vs 4 consistency);
-  4. test_nyu (uint16×1000 PNG + ÷10000 JPG export);
-  5. inference_benchmark (fps/load/memory, LaTeX+CSV);
+     ReSIDE/train.py:104-161), sending a REAL ``SIGTERM`` mid-run, then
+     resuming from the preemption checkpoint to completion;
+  2. the same for ENB0-LR (lasinger2019 decoder), plus a short
+     ``--freeze-encoder --init-from`` decoder-only fine-tune;
+  3. evaluate the best HU checkpoint (edge metrics; batch 1 vs 4);
+  4. test_nyu over BOTH staged checkpoints (uint16×1000 PNG + ÷10000 JPG);
+  5. inference_benchmark over BOTH checkpoints (fps/load/memory, LaTeX+CSV);
   6. full benchmark.main equivalent: GT renders, perlin-noised baseline,
-     trained + random-weights + flat models, visual metrics with converted
-     stand-in LPIPS weights, CSV/LaTeX/plots/grids;
+     two trained + random-weights + flat models, visual metrics with
+     converted stand-in LPIPS weights, CSV/LaTeX/plots/grids;
   7. collect_study_materials (MTurk stimulus pipeline);
-  8. write e2e/E2E.md with the epoch trajectory, benchmark tables, and
-     wall-times.
+  8. write e2e/E2E.md with both epoch trajectories, the two-trained-model
+     benchmark ranking, and wall-times.
 
 Run from the repo root (the TPU chip must be free):
 
@@ -68,6 +79,13 @@ def read_log(run_dir: str) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
+def best_ckpt_in(run_dir: str) -> str:
+    ckpts = [p for p in glob.glob(os.path.join(run_dir, "*.ede"))
+             if not p.endswith("train_state.ede")]
+    assert ckpts, f"no best checkpoint in {run_dir}"
+    return ckpts[0]
+
+
 def make_standin_lpips(out_npz: str):
     """Stand-in AlexNet+LPIPS weights through the real converter
     (official files are egress-blocked; see apps/ingest.py)."""
@@ -97,25 +115,82 @@ def make_standin_lpips(out_npz: str):
             out_npz)
 
 
+def train_with_preemption(args, py, timings, tag, train_flags):
+    """Train with a REAL SIGTERM after ``--preempt-after-epochs`` epochs,
+    then resume from the rolling train state to completion.
+
+    Returns ``(trajectory, run_dir_a, run_dir_b, best_ckpt)``.
+    """
+    # ------------------------------------------------------ A: until SIGTERM
+    t0 = time.time()
+    launch_time = time.time()
+    train_log_a = os.path.join(args.work_dir, f"train_{tag}_a.log")
+    with open(train_log_a, "w") as log_f:
+        # stdout must go to a FILE: a PIPE left undrained fills its 64 KB
+        # buffer within the first epoch's progress lines and deadlocks the
+        # child mid-write
+        proc = subprocess.Popen(
+            [py, "-m", "efficientdepthestimation_tpu.apps.train"] + train_flags,
+            cwd=REPO, stdout=log_f, stderr=subprocess.STDOUT, text=True)
+        log(f"[{tag}] train launched (pid {proc.pid}); waiting for "
+            f"{args.preempt_after_epochs} epochs before SIGTERM...")
+        run_dir_a = None
+        while proc.poll() is None:
+            time.sleep(5)
+            try:
+                run_dir_a = newest_run_dir(launch_time)
+            except AssertionError:
+                continue
+            if len(read_log(run_dir_a)) >= args.preempt_after_epochs:
+                log(f"[{tag}] {args.preempt_after_epochs} epochs logged -> "
+                    "SIGTERM")
+                time.sleep(3)  # land mid-epoch, not at the boundary
+                proc.send_signal(signal.SIGTERM)
+                break
+        proc.wait()
+    stdout_a = open(train_log_a).read()
+    assert run_dir_a is not None
+    assert "Preempted at epoch" in stdout_a, stdout_a[-2000:]
+    rolling = os.path.join(run_dir_a, "train_state.ede")
+    assert os.path.isfile(rolling), rolling
+    timings[f"1_{tag}_train_until_preempt"] = time.time() - t0
+    log(f"[{tag}] preempted cleanly; state at {rolling}")
+
+    # ------------------------------------------------------------ B: resume
+    t0 = time.time()
+    resume_launch = time.time()
+    out_b = run([py, "-m", "efficientdepthestimation_tpu.apps.train"]
+                + train_flags + ["--resume", rolling],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    run_dir_b = newest_run_dir(resume_launch)
+    timings[f"2_{tag}_train_resumed"] = time.time() - t0
+    trajectory = read_log(run_dir_a) + read_log(run_dir_b)
+    assert glob.glob(os.path.join(run_dir_b, "*.ede")), out_b.stdout[-2000:]
+    return trajectory, run_dir_a, run_dir_b, best_ckpt_in(run_dir_b)
+
+
 def main():
     parser = argparse.ArgumentParser(description="E2E dress rehearsal")
     parser.add_argument("--data-dir", default="/tmp/e2e_data")
     parser.add_argument("--work-dir", default="/tmp/e2e_work")
     parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--freeze-epochs", type=int, default=3,
+                        help="length of the LR frozen-encoder fine-tune "
+                             "segment")
     parser.add_argument("--n-train", type=int, default=1500)
     parser.add_argument("--n-test", type=int, default=150)
     parser.add_argument("--bench-samples", type=int, default=25,
                         help="test subset for the (render-heavy) benchmark")
     parser.add_argument("--preempt-after-epochs", type=int, default=5,
-                        help="SIGTERM the first train run after this many "
+                        help="SIGTERM each train run after this many "
                              "epoch log entries")
     parser.add_argument("--out", default=os.path.join(REPO, "e2e"))
     parser.add_argument("--reuse-train", action="store_true",
-                        help="skip phases 1-2, reusing the newest two "
-                             "runs/* dirs and the staged checkpoint from a "
-                             "previous (interrupted) invocation; the "
-                             "benchmark phase's own caches make the rest "
-                             "resumable")
+                        help="skip the training phases, reusing staged "
+                             "checkpoints + trajectory JSONs left in "
+                             "--work-dir by a previous (interrupted) "
+                             "invocation; the benchmark phase's own caches "
+                             "make the rest resumable")
     args = parser.parse_args()
 
     py = sys.executable
@@ -134,87 +209,63 @@ def main():
              "--test", str(args.n_test)])
     timings["0_dataset"] = time.time() - t0
 
-    if args.reuse_train:
-        dirs = sorted(glob.glob(os.path.join(REPO, "runs", "*")),
-                      key=os.path.getmtime)
-        run_dir_a, run_dir_b = dirs[-2], dirs[-1]
-        trajectory = read_log(run_dir_a) + read_log(run_dir_b)
-        staged = os.path.join(args.work_dir, "checkpoints")
-        trained_path = os.path.join(staged, "ENB0-HU.ede")
-        random_path = os.path.join(args.work_dir, "random_ckpt", "ENB0-HU.ede")
-        assert os.path.isfile(trained_path) and os.path.isfile(random_path)
-        timings["1_train_until_preempt"] = timings["2_train_resumed"] = -1.0
-        log(f"reusing train artifacts: {run_dir_a} + {run_dir_b}")
-        return downstream(args, py, timings, t_all, train_csv, test_csv,
-                          trajectory, run_dir_a, run_dir_b, staged,
-                          trained_path, random_path)
+    staged = os.path.join(args.work_dir, "checkpoints")
+    os.makedirs(staged, exist_ok=True)
+    hu_path = os.path.join(staged, "ENB0-HU.ede")
+    lr_path = os.path.join(staged, "ENB0-LR.ede")
+    random_path = os.path.join(args.work_dir, "random_ckpt", "ENB0-HU.ede")
+    meta_path = os.path.join(args.work_dir, "train_meta.json")
 
-    # ------------------------------------------------- 1 train + SIGTERM
-    train_flags = [
-        "--encoder", "efficientnet-b0", "--decoder", "hu2018",
+    if args.reuse_train:
+        assert os.path.isfile(hu_path) and os.path.isfile(lr_path) \
+            and os.path.isfile(random_path) and os.path.isfile(meta_path)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        log("reusing train artifacts from " + args.work_dir)
+        return downstream(args, py, timings, t_all, train_csv, test_csv,
+                          meta, staged, hu_path, lr_path, random_path)
+
+    base_flags = [
+        "--encoder", "efficientnet-b0",
         "--epochs", str(args.epochs), "--train-csv", train_csv,
         "--test-csv", test_csv, "--per-device-batch", "8", "--cache-ram",
     ]
-    t0 = time.time()
-    launch_time = time.time()
-    train_log_a = os.path.join(args.work_dir, "train_a.log")
-    with open(train_log_a, "w") as log_f:
-        # stdout must go to a FILE: a PIPE left undrained fills its 64 KB
-        # buffer within the first epoch's progress lines and deadlocks the
-        # child mid-write
-        proc = subprocess.Popen(
-            [py, "-m", "efficientdepthestimation_tpu.apps.train"] + train_flags,
-            cwd=REPO, stdout=log_f, stderr=subprocess.STDOUT, text=True)
-        log(f"train launched (pid {proc.pid}); waiting for "
-            f"{args.preempt_after_epochs} epochs before SIGTERM...")
-        run_dir_a = None
-        while proc.poll() is None:
-            time.sleep(5)
-            try:
-                run_dir_a = newest_run_dir(launch_time)
-            except AssertionError:
-                continue
-            if len(read_log(run_dir_a)) >= args.preempt_after_epochs:
-                log(f"{args.preempt_after_epochs} epochs logged -> SIGTERM")
-                time.sleep(3)  # land mid-epoch, not at the boundary
-                proc.send_signal(signal.SIGTERM)
-                break
-        proc.wait()
-    stdout_a = open(train_log_a).read()
-    assert run_dir_a is not None
-    assert "Preempted at epoch" in stdout_a, stdout_a[-2000:]
-    rolling = os.path.join(run_dir_a, "train_state.ede")
-    assert os.path.isfile(rolling), rolling
-    timings["1_train_until_preempt"] = time.time() - t0
-    log(f"preempted cleanly; state at {rolling}")
 
-    # ------------------------------------------------------------ 2 resume
-    t0 = time.time()
-    resume_launch = time.time()
-    out_b = run([py, "-m", "efficientdepthestimation_tpu.apps.train"]
-                + train_flags + ["--resume", rolling],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-    run_dir_b = newest_run_dir(resume_launch)
-    timings["2_train_resumed"] = time.time() - t0
-    trajectory = read_log(run_dir_a) + read_log(run_dir_b)
-    ckpts = [p for p in glob.glob(os.path.join(run_dir_b, "*.ede"))
-             if not p.endswith("train_state.ede")]
-    assert ckpts, f"no best checkpoint in {run_dir_b}: {out_b.stdout[-2000:]}"
-    best_ckpt = ckpts[0]
+    # ------------------------------------------- 1 ENB0-HU train + SIGTERM
+    hu_traj, hu_dir_a, hu_dir_b, hu_best = train_with_preemption(
+        args, py, timings, "hu", base_flags + ["--decoder", "hu2018"])
+    shutil.copyfile(hu_best, hu_path)
 
-    # stage under the released-checkpoint naming convention so every
-    # name-dispatching app (test_nyu, inference_benchmark, benchmark)
-    # resolves the architecture as it would for the real ENB0-HU.pth
-    staged = os.path.join(args.work_dir, "checkpoints")
-    os.makedirs(staged, exist_ok=True)
-    trained_path = os.path.join(staged, "ENB0-HU.ede")
-    shutil.copyfile(best_ckpt, trained_path)
+    # ------------------------------------------- 2 ENB0-LR train + SIGTERM
+    lr_flags = base_flags + ["--decoder", "lasinger2019"]
+    lr_traj, lr_dir_a, lr_dir_b, lr_best = train_with_preemption(
+        args, py, timings, "lr", lr_flags)
+
+    # frozen-encoder decoder-only fine-tune from the best LR checkpoint
+    # (the reference's Encoder(freeze_weights=True) workflow,
+    # lasinger2019.py:36-38); best-by-abs_rel through save_midas again
+    t0 = time.time()
+    ft_launch = time.time()
+    run([py, "-m", "efficientdepthestimation_tpu.apps.train"] + lr_flags
+        + ["--epochs", str(args.freeze_epochs), "--init-from", lr_best,
+           "--freeze-encoder"],
+        stdout=open(os.path.join(args.work_dir, "train_lr_freeze.log"), "w"),
+        stderr=subprocess.STDOUT)
+    ft_dir = newest_run_dir(ft_launch)
+    ft_traj = read_log(ft_dir)
+    timings["2b_lr_freeze_finetune"] = time.time() - t0
+    # stage whichever run reached the lower abs_rel
+    ft_best_rel = min(r["abs_rel"] for r in ft_traj)
+    lr_best_rel = min(r["abs_rel"] for r in lr_traj)
+    staged_from = "freeze-finetune" if ft_best_rel < lr_best_rel else "main"
+    shutil.copyfile(best_ckpt_in(ft_dir) if ft_best_rel < lr_best_rel
+                    else lr_best, lr_path)
+    log(f"[lr] staged best from {staged_from} run "
+        f"(abs_rel {min(ft_best_rel, lr_best_rel):.4f})")
 
     # a random-weights checkpoint of the same architecture (the reference's
     # chapter-4 'random_weights' entry, benchmark.py:551-553)
-    random_dir = os.path.join(args.work_dir, "random_ckpt")
-    os.makedirs(random_dir, exist_ok=True)
-    random_path = os.path.join(random_dir, "ENB0-HU.ede")
+    os.makedirs(os.path.dirname(random_path), exist_ok=True)
     run([py, "-c", f"""
 import sys; sys.path.insert(0, {REPO!r})
 from efficientdepthestimation_tpu.apps.common import init_variables
@@ -227,32 +278,43 @@ v = init_variables(model, (228, 304), seed=999)
 save_checkpoint({random_path!r}, v, encoder="efficientnet-b0", decoder="hu2018")
 """])
 
+    meta = {
+        "trajectories": {"hu": hu_traj, "lr": lr_traj, "lr_freeze": ft_traj},
+        "run_dirs": {"hu": [os.path.basename(hu_dir_a),
+                            os.path.basename(hu_dir_b)],
+                     "lr": [os.path.basename(lr_dir_a),
+                            os.path.basename(lr_dir_b)],
+                     "lr_freeze": [os.path.basename(ft_dir)]},
+        "lr_staged_from": staged_from,
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+
     return downstream(args, py, timings, t_all, train_csv, test_csv,
-                      trajectory, run_dir_a, run_dir_b, staged, trained_path,
-                      random_path)
+                      meta, staged, hu_path, lr_path, random_path)
 
 
-def downstream(args, py, timings, t_all, train_csv, test_csv, trajectory,
-               run_dir_a, run_dir_b, staged, trained_path, random_path):
+def downstream(args, py, timings, t_all, train_csv, test_csv, meta, staged,
+               hu_path, lr_path, random_path):
     # ---------------------------------------------------------- 3 evaluate
     t0 = time.time()
     evals = {}
     for bs in (1, 4):
         out = run([py, "-m", "efficientdepthestimation_tpu.apps.evaluate",
-                   "--model", trained_path, "--test-csv", test_csv,
+                   "--model", hu_path, "--test-csv", test_csv,
                    "--batch-size", str(bs)],
                   stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         evals[bs] = out.stdout.replace("\r", "\n").strip().splitlines()[-6:]
     timings["3_evaluate"] = time.time() - t0
 
-    # ---------------------------------------------------------- 4 test_nyu
+    # ------------------------------------------ 4 test_nyu (both models)
     t0 = time.time()
     nyu_out = os.path.join(args.work_dir, "nyu_depth_out")
     run([py, "-m", "efficientdepthestimation_tpu.apps.test_nyu",
          "-c", staged, "--test-csv", test_csv, "-o", nyu_out, "-b", "8"])
     timings["4_test_nyu"] = time.time() - t0
 
-    # ------------------------------------------- 5 inference_benchmark
+    # ------------------------------- 5 inference_benchmark (both models)
     t0 = time.time()
     ib_out = os.path.join(args.work_dir, "inference_benchmark")
     os.makedirs(ib_out, exist_ok=True)
@@ -272,14 +334,15 @@ def downstream(args, py, timings, t_all, train_csv, test_csv, trajectory,
     make_standin_lpips(lpips_npz)
     bench_out = os.path.join(args.work_dir, "benchmark_out")
     env = dict(os.environ, LPIPS_ALEX_WEIGHTS=lpips_npz)
-    log("benchmark harness (GT+noisy renders, 3 models, visual metrics)...")
+    log("benchmark harness (GT+noisy renders, 4 models, visual metrics)...")
     subprocess.run(
         [py, "-m", "efficientdepthestimation_tpu.benchmark.harness",
          "--csv-path", bench_csv, "--output-path", bench_out,
          "--batch-size", "4",
-         "--models", f"reside_enb0_trained={trained_path}",
+         "--models", f"reside_enb0_hu_trained={hu_path}",
+         f"midas_enb0_lr_trained={lr_path}",
          f"reside_enb0_random={random_path}",
-         "--baseline-model", "reside_enb0_trained"],
+         "--baseline-model", "reside_enb0_hu_trained"],
         cwd=REPO, check=True, env=env)
     timings["6_benchmark"] = time.time() - t0
 
@@ -296,39 +359,39 @@ def downstream(args, py, timings, t_all, train_csv, test_csv, trajectory,
          "--nyu-dataset-path", study_data,
          "--output-path", study_out, "--max-videos", "4",
          "--selection-interval", "6",
-         "--model-selection", "reside_enb0_trained", "reside_enb0_random",
-         "flat"])
+         "--model-selection", "reside_enb0_hu_trained",
+         "midas_enb0_lr_trained", "flat"])
     timings["7_study_materials"] = time.time() - t0
 
     timings["total"] = time.time() - t_all
 
     # ---------------------------------------------------------- 8 report
-    write_report(args, trajectory, evals, ib_out, bench_out, nyu_out,
-                 study_out, timings, run_dir_a, run_dir_b)
+    write_report(args, meta, evals, ib_out, bench_out, nyu_out,
+                 study_out, timings)
     log("E2E complete.")
 
 
-def write_report(args, trajectory, evals, ib_out, bench_out, nyu_out,
-                 study_out, timings, run_dir_a, run_dir_b):
-    out_md = os.path.join(args.out, "E2E.md")
-    lines = []
-    w = lines.append
-    w("# E2E dress rehearsal — full reference workflow on real hardware\n")
-    w(f"Date: {datetime.datetime.now():%Y-%m-%d %H:%M}. One command: "
-      f"`python scripts/run_e2e.py`.\n")
-    w(f"Dataset: synthetic NYU (procedural rooms, real depth structure) — "
-      f"{args.n_train} train / {args.n_test} test 480×640 pairs, 8-bit×10 / "
-      f"16-bit÷1000 conventions (`data/synthetic_nyu.py`).\n")
-    w("Recipe: ENB0-HU, 20 epochs, Adam 1e-4, wd 1e-4, StepLR(5, 0.1), "
-      "batch 8, best-by-abs_rel (ReSIDE/train.py:104-161); REAL SIGTERM "
-      f"mid-run after {args.preempt_after_epochs} epochs, exact resume.\n")
+def read_bench_table(bench_out):
+    """model -> column -> float, from the absolute-metrics nyu.csv."""
+    path = os.path.join(bench_out, "nyu.csv")
+    with open(path) as f:
+        rows = list(csv_mod.reader(f))
+    header = rows[0]
+    table = {}
+    for row in rows[1:]:
+        table[row[0]] = {header[i]: (float(row[i]) if row[i] else None)
+                         for i in range(1, len(row))}
+    return table
 
-    w("## Epoch trajectory (train run A → SIGTERM → run B resumed)\n")
+
+def _trajectory_section(w, title, traj, run_dirs, note=""):
+    w(f"### {title}\n")
+    if note:
+        w(note + "\n")
     w("| epoch | loss | abs_rel | δ1 | RMSE |")
     w("|---|---|---|---|---|")
-    abs_rels = []
-    for i, row in enumerate(trajectory):
-        abs_rels.append(row.get("abs_rel"))
+    abs_rels = [row.get("abs_rel") for row in traj]
+    for i, row in enumerate(traj):
         w(f"| {i} | {row.get('loss', float('nan')):.4f} "
           f"| {row.get('abs_rel', float('nan')):.4f} "
           f"| {row.get('delta1', float('nan')):.4f} "
@@ -339,10 +402,49 @@ def write_report(args, trajectory, evals, ib_out, bench_out, nyu_out,
       f"{min(abs_rels):.4f}** (best at epoch {best_epoch} of "
       f"{len(abs_rels) - 1})")
     falling = abs_rels[-1] < abs_rels[0]
-    w(f"- abs_rel falls across training: **{falling}**; best checkpoint is "
-      f"epoch {best_epoch} (≠ 0: **{best_epoch != 0}**)")
-    w(f"- run A: `{os.path.basename(run_dir_a)}` (preempted, exact state "
-      f"saved); run B: `{os.path.basename(run_dir_b)}` (resumed)\n")
+    w(f"- abs_rel falls across training: **{falling}**")
+    if len(run_dirs) == 2:
+        w(f"- run A: `{run_dirs[0]}` (REAL SIGTERM mid-run, exact state "
+          f"saved); run B: `{run_dirs[1]}` (resumed)\n")
+    else:
+        w(f"- run: `{run_dirs[0]}`\n")
+
+
+def write_report(args, meta, evals, ib_out, bench_out, nyu_out,
+                 study_out, timings):
+    out_md = os.path.join(args.out, "E2E.md")
+    lines = []
+    w = lines.append
+    w("# E2E dress rehearsal — full reference workflow on real hardware\n")
+    w(f"Date: {datetime.datetime.now():%Y-%m-%d %H:%M}. One command: "
+      f"`python scripts/run_e2e.py`.\n")
+    w(f"Dataset: synthetic NYU (procedural rooms, real depth structure) — "
+      f"{args.n_train} train / {args.n_test} test 480×640 pairs, 8-bit×10 / "
+      f"16-bit÷1000 conventions (`data/synthetic_nyu.py`).\n")
+    w("Recipe (both decoders, matching run_experiments.bat:15-22): "
+      f"EfficientNet-B0 encoder, {args.epochs} epochs, Adam 1e-4, wd 1e-4, "
+      "StepLR(5, 0.1), batch 8, best-by-abs_rel (ReSIDE/train.py:104-161); "
+      f"REAL SIGTERM mid-run after {args.preempt_after_epochs} epochs + "
+      "exact resume for EACH decoder. The lasinger2019 best checkpoints go "
+      "through the self-describing `save_midas` format "
+      "(lasinger2019.py:372-415); its fine-tune segment freezes the encoder "
+      "(lasinger2019.py:36-38) and updates only the decoder.\n")
+
+    w("## Epoch trajectories\n")
+    trajs = meta["trajectories"]
+    dirs = meta["run_dirs"]
+    _trajectory_section(w, "ENB0-HU (hu2018 decoder)", trajs["hu"],
+                        dirs["hu"])
+    _trajectory_section(w, "ENB0-LR (lasinger2019/MiDaS decoder)",
+                        trajs["lr"], dirs["lr"])
+    _trajectory_section(
+        w, f"ENB0-LR frozen-encoder fine-tune ({args.freeze_epochs} epochs)",
+        trajs["lr_freeze"], dirs["lr_freeze"],
+        note="`--init-from <best LR> --freeze-encoder`: decoder-only Adam, "
+             "encoder bit-frozen (asserted in "
+             "tests/test_train_app.py::test_train_cli_midas_then_frozen_finetune).")
+    w(f"- staged ENB0-LR.ede comes from the **{meta['lr_staged_from']}** "
+      "run (lower abs_rel)\n")
 
     w("## Evaluation (apps.evaluate — edge metrics, batch 1 vs 4)\n")
     for bs, tail in evals.items():
@@ -350,7 +452,8 @@ def write_report(args, trajectory, evals, ib_out, bench_out, nyu_out,
         lines.extend(tail)
         w("```")
 
-    w("\n## Inference benchmark (apps.inference_benchmark, bf16, b8, 3 trials)\n")
+    w("\n## Inference benchmark (apps.inference_benchmark, bf16, b8, "
+      "3 trials, BOTH trained models)\n")
     for name in sorted(os.listdir(ib_out)):
         if name.endswith(".csv"):
             w(f"`{name}`:\n```")
@@ -363,11 +466,34 @@ def write_report(args, trajectory, evals, ib_out, bench_out, nyu_out,
         w(open(name).read().strip())
         w("```")
 
+    # two-trained-model ranking (VERDICT r3 next-round #1 'Done' criterion)
+    table = read_bench_table(bench_out)
+    w("\n## Trained-model ranking (δ1 / abs_rel, absolute)\n")
+    w("| model | δ1 | abs_rel |")
+    w("|---|---|---|")
+    for name, row in sorted(table.items(),
+                            key=lambda kv: -(kv[1].get("delta1") or 0)):
+        d1, rel = row.get("delta1"), row.get("abs_rel")
+        w(f"| {name} | {d1 if d1 is not None else '—'} "
+          f"| {rel if rel is not None else '—'} |")
+    checks = []
+    for trained in ("reside_enb0_hu_trained", "midas_enb0_lr_trained"):
+        for baseline in ("reside_enb0_random", "flat"):
+            ok = (table[trained]["delta1"] or 0) > (table[baseline]["delta1"] or 0)
+            checks.append(ok)
+            w(f"- δ1({trained}) > δ1({baseline}): **{ok}**")
+    w(f"- BOTH trained models rank above random AND flat: "
+      f"**{all(checks)}**\n")
+
     w("\n## Phase wall-times\n")
     w("| phase | seconds |")
     w("|---|---|")
     for k, v in timings.items():
         w(f"| {k} | {v:.1f} |")
+    w("")
+    w("Round-3 reference point: the benchmark phase took 3482.5 s with "
+      "synchronous host encoding; round 4 overlaps device render of sample "
+      "i+1 with host encode of sample i (benchmark/renderer.py).\n")
 
     w("\n## Output inventory\n")
     for label, root in (("test_nyu", nyu_out), ("benchmark", bench_out),
@@ -380,7 +506,7 @@ def write_report(args, trajectory, evals, ib_out, bench_out, nyu_out,
 
     # copy compact artifacts next to the report
     with open(os.path.join(args.out, "trajectory.json"), "w") as f:
-        json.dump(trajectory, f, indent=2)
+        json.dump(meta["trajectories"], f, indent=2)
     with open(os.path.join(args.out, "timings.json"), "w") as f:
         json.dump(timings, f, indent=2)
     for name in glob.glob(os.path.join(bench_out, "*.csv")):
