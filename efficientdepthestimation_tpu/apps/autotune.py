@@ -44,10 +44,12 @@ from efficientdepthestimation_tpu.apps.common import (
     make_tiled_infer_fn,
 )
 
-__all__ = ["autotune_serving", "load_policy", "policy_key",
-           "DEFAULT_POLICY_PATH"]
+__all__ = ["autotune_serving", "autotune_train", "load_policy", "policy_key",
+           "train_policy_key", "apply_train_policy", "DEFAULT_POLICY_PATH",
+           "TRAIN_POLICY_PATH"]
 
 DEFAULT_POLICY_PATH = os.path.join("runs", "serving_policy.json")
+TRAIN_POLICY_PATH = os.path.join("runs", "train_policy.json")
 TILE_BATCH = 128
 
 
@@ -238,6 +240,158 @@ def autotune_serving(model, variables, batch: int, *, crop_hw=(228, 304),
     return fn, entry
 
 
+# --------------------------------------------------------------- training
+# The serving side has had a measured policy cache since round 3; the
+# training side's {accum_steps, remat} choice was manual (PERFORMANCE.md
+# "Training remat": accumulation wins past the ~b128 HBM knee, XLA-auto
+# remat loses 6x there). autotune_train measures the same grid per
+# (device, family, batch, dtype) and caches the winner for the train CLI.
+
+def train_policy_key(encoder: str, decoder: str, batch: int, dtype) -> str:
+    device_kind = jax.devices()[0].device_kind.replace(" ", "_")
+    dt = jnp.dtype(dtype).name if dtype is not None else "float32"
+    return f"{device_kind}|{encoder}-{decoder}|b{batch}|{dt}"
+
+
+def _train_candidates(batch: int):
+    """{accum_steps} × {remat} grid. accum must divide the batch; remat
+    'dots'/'full' are the two explicit jax.checkpoint policies the train
+    step supports (training/train_step.py)."""
+    cands = []
+    for accum in (1, 2, 4, 8):
+        if batch % accum or batch // accum < 1:
+            continue
+        for remat in (None, "dots", "full"):
+            if accum > 1 and remat is not None:
+                # accumulation already bounds live activation memory to one
+                # microbatch; stacking remat on top only adds recompute
+                continue
+            cands.append({"accum_steps": accum, "remat": remat})
+    return cands
+
+
+def _timed_train_step(step, state, batch, rng, *, warmup=1, iters=4,
+                      batch_size=1):
+    """img/s with forced completion (scalar fetch of every step's loss)."""
+    losses = []
+    state, metrics = step(state, batch, rng)  # compile
+    float(metrics["loss"])
+    for _ in range(warmup):
+        state, metrics = step(state, batch, rng)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, rng)
+        losses.append(metrics["loss"])
+    checksum = float(jnp.stack(losses).sum())
+    dt = time.perf_counter() - t0
+    if not np.isfinite(checksum):
+        raise FloatingPointError(f"non-finite training loss ({checksum})")
+    return batch_size * iters / dt
+
+
+def autotune_train(encoder: str, decoder: str, batch: int, *,
+                   crop_hw=(228, 304), bf16: bool = True,
+                   policy_path: Optional[str] = TRAIN_POLICY_PATH,
+                   warmup: int = 1, iters: int = 4, verbose: bool = True):
+    """Measure the {accum_steps, remat} grid for one family at one batch on
+    the current device; cache the winner. Returns the policy entry."""
+    from efficientdepthestimation_tpu.apps.common import init_variables
+    from efficientdepthestimation_tpu.models import build_model
+    from efficientdepthestimation_tpu.training.train_step import (
+        adam_with_l2,
+        create_train_state,
+        make_train_step,
+        step_lr,
+    )
+
+    h, w = crop_hw
+    if decoder == "lasinger2019":
+        model = build_model(encoder, decoder, input_size=crop_hw,
+                            output_size=(h // 2, w // 2))
+    else:
+        model = build_model(encoder, decoder)
+    variables = init_variables(model, crop_hw)
+    tx = adam_with_l2(step_lr(1e-4, steps_per_epoch=100), 1e-4)
+    base_state = create_train_state(model, variables, tx)
+
+    # raw uint8 batches generated ON DEVICE (the step runs the full
+    # augmentation stack; host uploads through the tunnel would dominate)
+    key = jax.random.PRNGKey(0)
+    raw = jax.jit(lambda k: {
+        "image": jax.random.randint(k, (batch, 480, 640, 3), 0, 256,
+                                    jnp.int32).astype(jnp.uint8),
+        "depth": jax.random.randint(jax.random.fold_in(k, 1),
+                                    (batch, 480, 640), 10, 250,
+                                    jnp.int32).astype(jnp.uint8),
+    })(key)
+    raw["num_valid"] = jnp.asarray(batch, jnp.int32)
+    jax.block_until_ready(raw)
+
+    results = []
+    for spec in _train_candidates(batch):
+        name = (f"accum{spec['accum_steps']}/"
+                f"{spec['remat'] or 'no-remat'}")
+        try:
+            step = make_train_step(mixed_precision=bf16, crop_hw=crop_hw,
+                                   donate=False, **spec)
+            rate = _timed_train_step(step, base_state, raw,
+                                     jax.random.PRNGKey(1), warmup=warmup,
+                                     iters=iters, batch_size=batch)
+            results.append({"candidate": name, **spec,
+                            "img_per_s": round(rate, 2)})
+            if verbose:
+                print(f"  {name:>18}: {rate:8.1f} img/s", flush=True)
+        except Exception as exc:  # OOM etc — record and skip
+            results.append({"candidate": name, **spec, "img_per_s": None,
+                            "error": f"{type(exc).__name__}: {exc}"[:200]})
+            if verbose:
+                print(f"  {name:>18}: failed ({type(exc).__name__})",
+                      flush=True)
+
+    ok = [r for r in results if r["img_per_s"]]
+    if not ok:
+        raise RuntimeError(f"every training candidate failed: {results}")
+    best = max(ok, key=lambda r: r["img_per_s"])
+    entry = {"accum_steps": best["accum_steps"], "remat": best["remat"],
+             "img_per_s": best["img_per_s"], "measured": results}
+
+    if policy_path:
+        policy = load_policy(policy_path)
+        policy[train_policy_key(encoder, decoder, batch,
+                                jnp.bfloat16 if bf16 else None)] = entry
+        os.makedirs(os.path.dirname(policy_path) or ".", exist_ok=True)
+        with open(policy_path, "w") as f:
+            json.dump(policy, f, indent=2)
+    return entry
+
+
+def apply_train_policy(policy_path: Optional[str], encoder: str, decoder: str,
+                       batch: int, dtype, accum_steps: Optional[int],
+                       remat: Optional[str]):
+    """Resolve the effective (accum_steps, remat, source) for the train CLI.
+
+    Explicit flags always win; otherwise a measured policy entry for this
+    exact (device, family, batch, dtype) key applies; else the defaults
+    (accum 1, no remat)."""
+    explicit_accum = accum_steps is not None
+    explicit_remat = remat is not None and remat != "auto"
+    accum = accum_steps if explicit_accum else 1
+    rem = None if (remat in (None, "auto", "none")) else remat
+    if explicit_accum and explicit_remat:
+        return accum, rem, "flags"
+    entry = (load_policy(policy_path) if policy_path else {}).get(
+        train_policy_key(encoder, decoder, batch, dtype))
+    if not entry:
+        return accum, rem, "flags" if (explicit_accum or explicit_remat) \
+            else "defaults"
+    if not explicit_accum:
+        accum = int(entry["accum_steps"])
+    if not explicit_remat:
+        rem = entry["remat"]
+    return accum, rem, "policy"
+
+
 def main(args: Optional[List[str]] = None):
     from efficientdepthestimation_tpu.apps.common import init_variables
     from efficientdepthestimation_tpu.models import build_model
@@ -258,10 +412,28 @@ def main(args: Optional[List[str]] = None):
                         help="also measure dynamic-int8 variants "
                              "(numerics-changing; winner records rel_out_err)")
     parser.add_argument("--iters", default=5, type=int)
-    parser.add_argument("--policy", default=DEFAULT_POLICY_PATH)
+    parser.add_argument("--policy", default=None,
+                        help="policy JSON path (default: serving_policy.json "
+                             "or train_policy.json under runs/)")
+    parser.add_argument("--train", action="store_true",
+                        help="tune the TRAINING step ({accum_steps, remat} "
+                             "grid) instead of serving; the train CLI "
+                             "consumes the resulting policy")
     ns = parser.parse_args(args=args)
 
     crop = tuple(ns.crop_hw)
+    if ns.train:
+        policy = ns.policy or TRAIN_POLICY_PATH
+        print(f"autotuning TRAIN {ns.encoder}-{ns.decoder} batch={ns.batch} "
+              f"bf16={ns.bf16} on {jax.devices()[0].device_kind}")
+        entry = autotune_train(ns.encoder, ns.decoder, ns.batch,
+                               crop_hw=crop, bf16=ns.bf16,
+                               policy_path=policy, iters=ns.iters)
+        print(json.dumps({"winner": {k: entry[k] for k in
+                                     ("accum_steps", "remat", "img_per_s")},
+                          "policy": policy}))
+        return entry
+    ns.policy = ns.policy or DEFAULT_POLICY_PATH
     if ns.decoder == "lasinger2019":
         model = build_model(ns.encoder, ns.decoder, input_size=crop,
                             output_size=(crop[0] // 2, crop[1] // 2))

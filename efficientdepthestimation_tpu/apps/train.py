@@ -117,13 +117,25 @@ def parse_args(args: Optional[List[str]] = None):
                              "steps *within* an epoch (0 = per-epoch only). "
                              "Bounds work lost to a hard kill to N steps; "
                              "resume is exact either way.")
-    parser.add_argument("--accum-steps", default=1, type=int,
+    parser.add_argument("--accum-steps", default=None, type=int,
                         help="microbatch gradient accumulation inside the "
                              "step; the per-device batch must divide by it. "
                              "Effective batches past the ~128/chip HBM knee "
                              "hold the b128 rate this way (RN50 b256: 363 "
                              "img/s accumulated vs 59 XLA-auto-remat — "
-                             "PERFORMANCE.md 'Training remat')")
+                             "PERFORMANCE.md 'Training remat'). Unset: the "
+                             "measured --train-policy applies, else 1.")
+    parser.add_argument("--remat", default="auto",
+                        choices=("auto", "none", "dots", "full"),
+                        help="explicit jax.checkpoint policy for the train "
+                             "step. 'auto' defers to the measured "
+                             "--train-policy (else no remat).")
+    parser.add_argument("--train-policy", default=None, type=str,
+                        help="train-policy JSON from `ede-autotune --train` "
+                             "(default: runs/train_policy.json when it "
+                             "exists); supplies {accum_steps, remat} for "
+                             "this (device, family, batch, dtype) unless "
+                             "set explicitly")
     parser.add_argument("--cache-ram", action="store_true",
                         help="cache decoded images in RAM after first epoch "
                              "(PNG decode dominates on few-core hosts; "
@@ -252,11 +264,26 @@ def main(args: Optional[List[str]] = None):
     if args.start_epoch and not args.resume:
         state = state.replace(step=jnp.asarray(args.start_epoch * steps_per_epoch))
 
+    from efficientdepthestimation_tpu.apps.autotune import (
+        TRAIN_POLICY_PATH,
+        apply_train_policy,
+    )
+
+    policy_path = args.train_policy or (
+        TRAIN_POLICY_PATH if os.path.isfile(TRAIN_POLICY_PATH) else None)
+    accum_steps, remat, policy_source = apply_train_policy(
+        policy_path, args.encoder, args.decoder, args.per_device_batch,
+        jnp.bfloat16 if args.bf16 else None, args.accum_steps, args.remat)
+    if is_main and policy_source == "policy":
+        print(f"train policy ({policy_path}): accum_steps={accum_steps} "
+              f"remat={remat}")
+
     train_step = make_train_step(use_pallas_loss=args.use_pallas_loss,
                                  mixed_precision=args.bf16, crop_hw=crop,
                                  split_preprocess=args.split_preprocess,
                                  state_shardings=state_shardings,
-                                 accum_steps=args.accum_steps)
+                                 remat=remat,
+                                 accum_steps=accum_steps)
     eval_step = make_eval_step()
     grad_snapshot = make_grad_snapshot(use_pallas_loss=args.use_pallas_loss,
                                        mixed_precision=args.bf16, crop_hw=crop)

@@ -365,6 +365,10 @@ def downstream(args, py, timings, t_all, train_csv, test_csv, meta, staged,
 
     timings["total"] = time.time() - t_all
 
+    # commit-able trained artifacts (bench.py's honest headline weights)
+    shutil.copyfile(hu_path, os.path.join(args.out, "ENB0-HU-synthetic.ede"))
+    shutil.copyfile(lr_path, os.path.join(args.out, "ENB0-LR-synthetic.ede"))
+
     # ---------------------------------------------------------- 8 report
     write_report(args, meta, evals, ib_out, bench_out, nyu_out,
                  study_out, timings)

@@ -128,3 +128,78 @@ def test_autotune_int8_candidates_and_accuracy_record(tmp_path):
     rel = (np.linalg.norm(served - reference)
            / max(np.linalg.norm(reference), 1e-30))
     assert 0 < rel < 0.05  # int8 path ran (differs), within band
+
+
+# ------------------------------------------------------------- training
+
+def test_train_candidate_grid():
+    from efficientdepthestimation_tpu.apps.autotune import _train_candidates
+
+    cands = _train_candidates(8)
+    # accum 1 gets all three remat modes; accum>1 only no-remat
+    assert {"accum_steps": 1, "remat": None} in cands
+    assert {"accum_steps": 1, "remat": "dots"} in cands
+    assert {"accum_steps": 1, "remat": "full"} in cands
+    assert {"accum_steps": 4, "remat": None} in cands
+    assert {"accum_steps": 4, "remat": "full"} not in cands
+    # accum must divide the batch
+    assert all(8 % c["accum_steps"] == 0 for c in cands)
+    assert {"accum_steps": 8, "remat": None} in cands
+    cands6 = _train_candidates(6)
+    assert all(c["accum_steps"] in (1, 2) for c in cands6)
+
+
+@pytest.mark.slow
+def test_autotune_train_measures_and_caches(tmp_path):
+    from efficientdepthestimation_tpu.apps.autotune import (
+        autotune_train,
+        load_policy,
+        train_policy_key,
+    )
+
+    policy_path = str(tmp_path / "train_policy.json")
+    entry = autotune_train("resnet18", "hu2018", 2, crop_hw=(64, 96),
+                           bf16=False, policy_path=policy_path,
+                           warmup=0, iters=2, verbose=False)
+    assert entry["img_per_s"] > 0
+    assert entry["accum_steps"] in (1, 2)
+    measured = [r for r in entry["measured"] if r["img_per_s"]]
+    assert len(measured) >= 2  # at least accum1/no-remat and accum2
+
+    policy = load_policy(policy_path)
+    key = train_policy_key("resnet18", "hu2018", 2, None)
+    assert policy[key]["accum_steps"] == entry["accum_steps"]
+
+
+def test_apply_train_policy_resolution(tmp_path):
+    from efficientdepthestimation_tpu.apps.autotune import (
+        apply_train_policy,
+        train_policy_key,
+    )
+
+    path = str(tmp_path / "p.json")
+    key = train_policy_key("resnet50", "hu2018", 128, jnp.bfloat16)
+    with open(path, "w") as f:
+        json.dump({key: {"accum_steps": 2, "remat": None,
+                         "img_per_s": 100.0}}, f)
+
+    # unset flags adopt the measured policy
+    accum, remat, src = apply_train_policy(path, "resnet50", "hu2018", 128,
+                                           jnp.bfloat16, None, "auto")
+    assert (accum, remat, src) == (2, None, "policy")
+    # explicit flags always win
+    accum, remat, src = apply_train_policy(path, "resnet50", "hu2018", 128,
+                                           jnp.bfloat16, 4, "full")
+    assert (accum, remat, src) == (4, "full", "flags")
+    # 'none' is an explicit no-remat, policy still fills accum
+    accum, remat, src = apply_train_policy(path, "resnet50", "hu2018", 128,
+                                           jnp.bfloat16, None, "none")
+    assert (accum, remat, src) == (2, None, "policy")
+    # unmeasured key falls back to defaults
+    accum, remat, src = apply_train_policy(path, "resnet18", "hu2018", 8,
+                                           None, None, "auto")
+    assert (accum, remat, src) == (1, None, "defaults")
+    # no policy file at all
+    accum, remat, src = apply_train_policy(None, "resnet18", "hu2018", 8,
+                                           None, None, "auto")
+    assert (accum, remat, src) == (1, None, "defaults")
