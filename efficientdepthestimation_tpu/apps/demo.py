@@ -26,6 +26,9 @@ from efficientdepthestimation_tpu.models import build_model
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Single-image depth demo")
     parser.add_argument("-i", "--image-path", required=True, type=str,
                         help="An RGB image or a directory of RGB images.")

@@ -26,6 +26,9 @@ from efficientdepthestimation_tpu.ops.resize import pil_resize
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="RGB|depth side-by-side video")
     parser.add_argument("-i", "--image-path", required=True, type=str,
                         help="Directory of video frames.")

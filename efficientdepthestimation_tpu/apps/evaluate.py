@@ -28,6 +28,9 @@ from efficientdepthestimation_tpu.training.metrics import (
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="NYU evaluation + edge metrics")
     parser.add_argument("--model", default="pretrained_model/model_resnet", type=str)
     parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)

@@ -23,6 +23,9 @@ from efficientdepthestimation_tpu.apps.common import (
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Export an AOT serving artifact")
     parser.add_argument("--model", type=str, default=None,
                         help="checkpoint (.pth or EDE); arch sniffed from name")

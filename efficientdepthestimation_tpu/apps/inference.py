@@ -22,6 +22,9 @@ from efficientdepthestimation_tpu.data import (
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Peak device memory probe")
     parser.add_argument("--model", required=True, type=str)
     parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)

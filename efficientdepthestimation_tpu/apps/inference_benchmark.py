@@ -66,6 +66,9 @@ def benchmark_checkpoint(dataset, model_path: str, batch_size: int = 8,
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Per-checkpoint fps/memory benchmark")
     parser.add_argument("-c", "--checkpoint-dir", required=True, type=str)
     parser.add_argument("-f", "--frames-dir", required=True, type=str)

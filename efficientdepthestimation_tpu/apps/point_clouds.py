@@ -26,6 +26,9 @@ from efficientdepthestimation_tpu.utils.pointcloud import (
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Depth → point clouds")
     parser.add_argument("-i", "--images-path", required=True, type=str)
     parser.add_argument("-m", "--model-path", required=True, type=str)

@@ -36,6 +36,9 @@ def write_preview(image: np.ndarray, path: str):
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Export test-set depth maps")
     parser.add_argument("-c", "--checkpoint-dir", required=True, type=str)
     parser.add_argument("--test-csv", default="./data/nyu2_test.csv", type=str)

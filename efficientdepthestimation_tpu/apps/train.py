@@ -188,6 +188,9 @@ def _epoch_batches(dataset, batch_size, mesh, sharding, *, shuffle=False,
 
 
 def main(args: Optional[List[str]] = None):
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = parse_args(args)
     training_start_time = datetime.datetime.now()
 
@@ -378,7 +381,12 @@ def main(args: Optional[List[str]] = None):
         images = _replicate_global(images, mesh)
         depths = _replicate_global(depths, mesh)
         with inference_timer:
-            _, examples = eval_step(state, images, depths)
+            # num_valid passed as an array so this shares the eval epoch's
+            # compiled program (num_valid=None would be a distinct
+            # executable — a second multi-minute remote compile for the
+            # same math on slow-compile tunnels)
+            _, examples = eval_step(state, images, depths,
+                                    jnp.asarray(images.shape[0], jnp.int32))
             examples = jax.block_until_ready(examples)
         logger.log_images("examples", np.asarray(examples) / 10.0, step=epoch)
 

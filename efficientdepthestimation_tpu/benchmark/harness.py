@@ -382,6 +382,9 @@ def preset_model_loaders(args, data):
 
 def main(args=None):
     """Full user-centred benchmark (benchmark.py:500-679)."""
+    from efficientdepthestimation_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
     import argparse
 
     from efficientdepthestimation_tpu.benchmark.datasets import (

@@ -185,6 +185,13 @@ def main():
                         help="SIGTERM each train run after this many "
                              "epoch log entries")
     parser.add_argument("--out", default=os.path.join(REPO, "e2e"))
+    parser.add_argument("--skip-hu-train", action="store_true",
+                        help="reuse the committed round-3 trained HU "
+                             "artifact (e2e/ENB0-HU-synthetic.ede + its "
+                             "trajectory.json) instead of re-training it; "
+                             "the LR phases still run fresh. Cuts ~1h of "
+                             "remote-compile time when the hu2018 E2E "
+                             "evidence already exists.")
     parser.add_argument("--reuse-train", action="store_true",
                         help="skip the training phases, reusing staged "
                              "checkpoints + trajectory JSONs left in "
@@ -232,12 +239,30 @@ def main():
     ]
 
     # ------------------------------------------- 1 ENB0-HU train + SIGTERM
-    hu_traj, hu_dir_a, hu_dir_b, hu_best = train_with_preemption(
-        args, py, timings, "hu", base_flags + ["--decoder", "hu2018"])
-    shutil.copyfile(hu_best, hu_path)
+    if args.skip_hu_train:
+        committed = os.path.join(args.out, "ENB0-HU-synthetic.ede")
+        assert os.path.isfile(committed), committed
+        shutil.copyfile(committed, hu_path)
+        with open(os.path.join(args.out, "trajectory.json")) as f:
+            prev = json.load(f)
+        hu_traj = prev["hu"] if isinstance(prev, dict) else prev
+        hu_dir_a = hu_dir_b = None
+        hu_dirs = ["round-3 committed artifact (trained+preempted+resumed "
+                   "on this hardware; see git history of e2e/E2E.md)"]
+        timings["1_hu_train_until_preempt"] = -1.0
+        log("reusing round-3 trained ENB0-HU artifact")
+    else:
+        hu_traj, hu_dir_a, hu_dir_b, hu_best = train_with_preemption(
+            args, py, timings, "hu", base_flags + ["--decoder", "hu2018"])
+        shutil.copyfile(hu_best, hu_path)
+        hu_dirs = [os.path.basename(hu_dir_a), os.path.basename(hu_dir_b)]
 
     # ------------------------------------------- 2 ENB0-LR train + SIGTERM
-    lr_flags = base_flags + ["--decoder", "lasinger2019"]
+    # --watch-every 0: the gradient-histogram snapshot is a separate
+    # full fwd+bwd compile (~20 min on slow-compile tunnels); the
+    # wandb.watch parity evidence exists from the round-3 HU run
+    lr_flags = base_flags + ["--decoder", "lasinger2019",
+                             "--watch-every", "0"]
     lr_traj, lr_dir_a, lr_dir_b, lr_best = train_with_preemption(
         args, py, timings, "lr", lr_flags)
 
@@ -280,8 +305,7 @@ save_checkpoint({random_path!r}, v, encoder="efficientnet-b0", decoder="hu2018")
 
     meta = {
         "trajectories": {"hu": hu_traj, "lr": lr_traj, "lr_freeze": ft_traj},
-        "run_dirs": {"hu": [os.path.basename(hu_dir_a),
-                            os.path.basename(hu_dir_b)],
+        "run_dirs": {"hu": hu_dirs,
                      "lr": [os.path.basename(lr_dir_a),
                             os.path.basename(lr_dir_b)],
                      "lr_freeze": [os.path.basename(ft_dir)]},
