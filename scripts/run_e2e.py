@@ -53,6 +53,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# the orchestrator itself imports the package (make_standin_lpips); as a
+# script its sys.path[0] is scripts/, not the repo root
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 def log(msg):
@@ -494,24 +498,41 @@ def write_report(args, meta, evals, ib_out, bench_out, nyu_out,
         w(open(name).read().strip())
         w("```")
 
-    # two-trained-model ranking (VERDICT r3 next-round #1 'Done' criterion)
+    # two-trained-model ranking (VERDICT r3 next-round #1 'Done' criterion).
+    # Ranked on abs_rel — the recipe's own model-selection metric
+    # (best-by-abs_rel, ReSIDE/train.py:152-158) — plus the visual metrics.
+    # δ1 is reported but NOT used as the ordering check: the random-weights
+    # net emits a near-constant depth that lands inside the 1.25× ratio band
+    # across the synthetic rooms' narrow depth range (δ1=1.0 while its
+    # abs_rel is 2.5× worse) — a degeneracy of threshold metrics under
+    # near-constant predictions, visible in round 3's table too.
     table = read_bench_table(bench_out)
-    w("\n## Trained-model ranking (δ1 / abs_rel, absolute)\n")
-    w("| model | δ1 | abs_rel |")
-    w("|---|---|---|")
+    w("\n## Trained-model ranking (absolute; abs_rel is the recipe's "
+      "selection metric)\n")
+    w("| model | abs_rel ↓ | SSIM ↑ | LPIPS ↓ | MIFD ↓ | δ1 (see note) |")
+    w("|---|---|---|---|---|---|")
     for name, row in sorted(table.items(),
-                            key=lambda kv: -(kv[1].get("delta1") or 0)):
-        d1, rel = row.get("delta1"), row.get("abs_rel")
-        w(f"| {name} | {d1 if d1 is not None else '—'} "
-          f"| {rel if rel is not None else '—'} |")
+                            key=lambda kv: kv[1].get("abs_rel") or 1e9):
+        def fmt(key):
+            v = row.get(key)
+            return f"{v:.4f}" if isinstance(v, float) else "—"
+        w(f"| {name} | {fmt('abs_rel')} | {fmt('ssim')} | {fmt('lpips')} "
+          f"| {fmt('mifd')} | {fmt('delta1')} |")
     checks = []
     for trained in ("reside_enb0_hu_trained", "midas_enb0_lr_trained"):
         for baseline in ("reside_enb0_random", "flat"):
-            ok = (table[trained]["delta1"] or 0) > (table[baseline]["delta1"] or 0)
+            t, b = table[trained], table[baseline]
+            ok = (t["abs_rel"] < b["abs_rel"]
+                  and t["ssim"] > b["ssim"] and t["lpips"] < b["lpips"])
             checks.append(ok)
-            w(f"- δ1({trained}) > δ1({baseline}): **{ok}**")
-    w(f"- BOTH trained models rank above random AND flat: "
-      f"**{all(checks)}**\n")
+            w(f"- {trained} beats {baseline} on abs_rel AND ssim AND "
+              f"lpips: **{ok}**")
+    w(f"- BOTH trained models rank above random-weights AND flat on "
+      f"abs_rel + every visual metric: **{all(checks)}**")
+    w("- δ1 note: random-weights emits a near-constant ≈4 m depth; the "
+      "synthetic rooms' narrow range puts most GT pixels within its 1.25× "
+      "band (δ1=1.0, abs_rel 1.00) — the threshold metric, not the "
+      "harness, degenerates under constant predictions.\n")
 
     w("\n## Phase wall-times\n")
     w("| phase | seconds |")
@@ -519,9 +540,14 @@ def write_report(args, meta, evals, ib_out, bench_out, nyu_out,
     for k, v in timings.items():
         w(f"| {k} | {v:.1f} |")
     w("")
-    w("Round-3 reference point: the benchmark phase took 3482.5 s with "
-      "synchronous host encoding; round 4 overlaps device render of sample "
-      "i+1 with host encode of sample i (benchmark/renderer.py).\n")
+    w("Render overlap (VERDICT r3 #4): round 3's committed FRESH render "
+      "sweeps cost 1220–1273 s per 25-sample sweep (synchronous encode; "
+      "its 678 s 'trained' sweep and 3482 s phase total were partially "
+      "warmed by an interrupted prior attempt's caches). Round 4's "
+      "fresh sweeps run **~770 s each** with device render of sample i+1 "
+      "overlapping host encode of sample i — **1.65× per sweep** on the "
+      "same 1-core host (per-model render_time columns in nyu.csv, both "
+      "rounds committed).\n")
 
     w("\n## Output inventory\n")
     for label, root in (("test_nyu", nyu_out), ("benchmark", bench_out),
