@@ -61,6 +61,79 @@ _DATASET_ARCHIVE = "nyu_data.zip"
 _EXPECTED_COUNTS = {"train": 50688, "test": 654}
 
 
+def _archive_kind(path: str) -> Optional[str]:
+    """'zip' / 'tar' / 'gztar' from the file's magic bytes, else None.
+
+    Google Drive serves an HTML virus-scan interstitial instead of large
+    files (ADVICE r4); checking the payload's magic before extraction turns
+    "opaque BadZipFile mid-extract" into "bad download" at acquire time."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+            f.seek(257)
+            ustar = f.read(5)
+    except OSError:
+        return None
+    if head.startswith(b"PK\x03\x04") or head.startswith(b"PK\x05\x06"):
+        return "zip"
+    if head[:2] == b"\x1f\x8b":
+        return "gztar"
+    if ustar == b"ustar":
+        return "tar"
+    return None
+
+
+def _download_google_drive(url: str, dest: str) -> None:
+    """Fetch a Drive uc?export=download URL, handling the large-file
+    virus-scan confirmation flow (the plain GET returns an HTML page with a
+    confirm form for multi-GB files, not the payload)."""
+    import http.cookiejar
+    import re
+    import urllib.parse
+    import urllib.request
+
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+
+    def fetch(u: str) -> bytes | None:
+        """Stream to dest; return the body instead when it is HTML."""
+        with opener.open(u) as resp:
+            ctype = resp.headers.get("Content-Type", "")
+            if "text/html" in ctype:
+                return resp.read()
+            with open(dest, "wb") as f:
+                while chunk := resp.read(1 << 20):
+                    f.write(chunk)
+        return None
+
+    html = fetch(url)
+    if html is None:
+        return
+    # Large-file flow: the interstitial form posts to
+    # drive.usercontent.google.com/download with hidden id/export/confirm/
+    # uuid inputs (older variants use a confirm token in a cookie or link).
+    text = html.decode("utf-8", "replace")
+    action = re.search(r'action="([^"]+)"', text)
+    hidden = dict(re.findall(
+        r'<input type="hidden" name="([^"]+)" value="([^"]*)"', text))
+    if action and hidden.get("id"):
+        confirm_url = (action.group(1).replace("&amp;", "&") + "?"
+                       + urllib.parse.urlencode(hidden))
+    else:
+        token = next((c.value for c in jar
+                      if c.name.startswith("download_warning")), None)
+        if token is None:
+            m = re.search(r"confirm=([0-9A-Za-z_-]+)", text)
+            token = m.group(1) if m else "t"
+        sep = "&" if "?" in url else "?"
+        confirm_url = f"{url}{sep}confirm={token}"
+    if fetch(confirm_url) is not None:
+        raise RuntimeError(
+            "Google Drive returned HTML twice (confirmation flow failed) — "
+            "download the file in a browser and mount it via --source-dir")
+
+
 def _acquire(name: str, url: str, source_dir: Optional[str],
              out_dir: str, download: bool) -> Optional[str]:
     """Find ``name`` in source_dir, else download it to out_dir. None if absent."""
@@ -76,7 +149,15 @@ def _acquire(name: str, url: str, source_dir: Optional[str],
 
         print(f"downloading {url} -> {dest}")
         try:
-            urllib.request.urlretrieve(url, dest)
+            if "drive.google.com" in url or "drive.usercontent" in url:
+                _download_google_drive(url, dest)
+            else:
+                urllib.request.urlretrieve(url, dest)
+            if (name.endswith((".zip", ".tar", ".tar.gz", ".tgz"))
+                    and _archive_kind(dest) is None):
+                raise RuntimeError(
+                    f"{name} downloaded but is not a zip/tar archive "
+                    "(HTML interstitial or truncated transfer?)")
             return dest
         except Exception as exc:  # zero-egress environments land here
             print(f"  download failed: {exc}")
@@ -175,10 +256,33 @@ def _find_dataset_source(source_dir: Optional[str], data_out: str,
         for root, _, files in os.walk(source_dir):
             if "nyu2_train.csv" in files:
                 return root  # extracted tree
-        for name in sorted(os.listdir(source_dir)):
-            if name.endswith((".zip", ".tar", ".tar.gz", ".tgz")):
-                return os.path.join(source_dir, name)
+        archives = [os.path.join(source_dir, name)
+                    for name in sorted(os.listdir(source_dir))
+                    if name.endswith((".zip", ".tar", ".tar.gz", ".tgz"))]
+        # A source dir can hold unrelated archives (checkpoint bundles,
+        # ADVICE r4); prefer nyu-named ones, then any whose listing contains
+        # nyu2_train.csv — never blind-extract the alphabetically first.
+        archives.sort(key=lambda p: "nyu" not in os.path.basename(p).lower())
+        for cand in archives:
+            if ("nyu" in os.path.basename(cand).lower()
+                    or _archive_lists_nyu(cand)):
+                return cand
     return _acquire(_DATASET_ARCHIVE, _DATASET_URL, None, data_out, download)
+
+
+def _archive_lists_nyu(archive: str) -> bool:
+    """Peek the archive listing for nyu2_train.csv without extracting."""
+    import tarfile
+    import zipfile
+
+    try:
+        if _archive_kind(archive) == "zip":
+            with zipfile.ZipFile(archive) as zf:
+                return any(n.endswith("nyu2_train.csv") for n in zf.namelist())
+        with tarfile.open(archive) as tf:
+            return any(m.name.endswith("nyu2_train.csv") for m in tf)
+    except Exception:
+        return False
 
 
 def _extract_archive(archive: str, dest: str) -> str:
@@ -186,13 +290,20 @@ def _extract_archive(archive: str, dest: str) -> str:
     import zipfile
 
     os.makedirs(dest, exist_ok=True)
+    kind = _archive_kind(archive)
+    if kind is None:
+        raise RuntimeError(
+            f"{archive} is not a zip/tar archive (magic check failed) — "
+            "likely a failed/HTML download; re-acquire the dataset")
     print(f"extracting {archive} -> {dest}")
-    if archive.endswith(".zip"):
+    if kind == "zip":
         with zipfile.ZipFile(archive) as zf:
             zf.extractall(dest)
     else:
         with tarfile.open(archive) as tf:
-            tf.extractall(dest)
+            # externally acquired archive: refuse tar-slip members
+            # (absolute paths / '..' traversal) instead of writing them
+            tf.extractall(dest, filter="data")
     return dest
 
 

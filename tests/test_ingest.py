@@ -191,3 +191,50 @@ def test_ingest_dataset_extracted_tree(tmp_path):
     ])
     assert report["dataset"]["structural_ok"] is True
     assert report["dataset"]["train"]["rows"] == 2
+
+
+def test_archive_magic_and_selection(tmp_path):
+    """ADVICE r4 hardening: bad downloads are rejected by magic check before
+    extraction, unrelated archives are never blind-extracted, and tar
+    extraction refuses traversal members (filter='data')."""
+    import tarfile
+
+    # 1. an HTML interstitial saved as nyu_data.zip fails the magic check
+    html = tmp_path / "nyu_data.zip"
+    html.write_text("<html>Google Drive - Virus scan warning</html>")
+    assert ingest._archive_kind(str(html)) is None
+    with pytest.raises(RuntimeError, match="magic check failed"):
+        ingest._extract_archive(str(html), str(tmp_path / "out"))
+
+    # 2. real magic detection: zip and tar
+    _make_dataset_zip(str(tmp_path / "real_nyu.zip"), n_train=1, n_test=1)
+    assert ingest._archive_kind(str(tmp_path / "real_nyu.zip")) == "zip"
+    tar_path = tmp_path / "bundle.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        p = tmp_path / "ckpt.bin"
+        p.write_bytes(b"\x00" * 64)
+        tf.add(str(p), arcname="checkpoints/ckpt.bin")
+    assert ingest._archive_kind(str(tar_path)) == "tar"
+
+    # 3. selection prefers the nyu-named/-listing archive over the
+    # alphabetically-first unrelated bundle ('bundle.tar' < 'real_nyu.zip')
+    html.unlink()
+    src = ingest._find_dataset_source(str(tmp_path), str(tmp_path / "d"),
+                                      download=False)
+    assert src is not None and os.path.basename(src) == "real_nyu.zip"
+
+    # 4. an unrelated-named archive whose listing DOES hold the csv is found
+    os.rename(str(tmp_path / "real_nyu.zip"), str(tmp_path / "zz_data.zip"))
+    src = ingest._find_dataset_source(str(tmp_path), str(tmp_path / "d"),
+                                      download=False)
+    assert src is not None and os.path.basename(src) == "zz_data.zip"
+
+    # 5. tar-slip members are refused, not written outside dest
+    evil = tmp_path / "evil_nyu.tar"
+    with tarfile.open(evil, "w") as tf:
+        p = tmp_path / "payload"
+        p.write_bytes(b"x")
+        tf.add(str(p), arcname="../escaped")
+    with pytest.raises(tarfile.FilterError):
+        ingest._extract_archive(str(evil), str(tmp_path / "jail" / "inner"))
+    assert not (tmp_path / "jail" / "escaped").exists()
