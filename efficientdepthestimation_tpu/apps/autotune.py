@@ -117,28 +117,30 @@ def _serving_candidates(model, batch: int, int8: bool = False):
 
 
 def build_serving_candidate(model, variables, spec: dict, *,
-                            upsample_to=None, dtype=None):
+                            upsample_to=None, dtype=None, preprocess=False):
     path, dw = spec["path"], spec["dw_impl"]
     int8 = bool(spec.get("int8", False))
     bake = bool(spec.get("bake_weights", False))
     if path == "monolithic":
         return make_infer_fn(model, variables, upsample_to=upsample_to,
                              dtype=dtype, dw_impl=dw, int8=int8,
-                             bake_weights=bake)
+                             bake_weights=bake, preprocess=preprocess)
     if path == "staged":
         return make_staged_infer_fn(model, variables, upsample_to=upsample_to,
                                     dtype=dtype, dw_impl=dw, int8=int8,
-                                    bake_weights=bake)
+                                    bake_weights=bake, preprocess=preprocess)
     if path == "tiled":
         return make_tiled_infer_fn(model, variables, staged=False,
                                    tile_batch=TILE_BATCH,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw, int8=int8, bake_weights=bake)
+                                   dw_impl=dw, int8=int8, bake_weights=bake,
+                                   preprocess=preprocess)
     if path == "tiled-staged":
         return make_tiled_infer_fn(model, variables, staged=True,
                                    tile_batch=TILE_BATCH,
                                    upsample_to=upsample_to, dtype=dtype,
-                                   dw_impl=dw, int8=int8, bake_weights=bake)
+                                   dw_impl=dw, int8=int8, bake_weights=bake,
+                                   preprocess=preprocess)
     raise ValueError(f"unknown serving path {path!r}")
 
 
@@ -371,25 +373,26 @@ def apply_train_policy(policy_path: Optional[str], encoder: str, decoder: str,
                        remat: Optional[str]):
     """Resolve the effective (accum_steps, remat, source) for the train CLI.
 
-    Explicit flags always win; otherwise a measured policy entry for this
-    exact (device, family, batch, dtype) key applies; else the defaults
-    (accum 1, no remat)."""
+    A policy entry is a JOINTLY-measured {accum_steps, remat} winner — the
+    grid never pairs accum>1 with remat (_train_candidates), so splicing one
+    explicit flag with the other half of a measured pair would produce a
+    combination nobody measured (e.g. policy {accum 4, remat None} +
+    ``--accum-steps 1`` silently yielding no-remat at accum 1, which may not
+    fit HBM). Therefore: if EITHER flag is explicit, the policy entry is
+    ignored wholesale (pure flags + defaults, source "flags"); only with no
+    explicit flags does a measured entry for this exact (device, family,
+    batch, dtype) key apply; else the defaults (accum 1, no remat)."""
     explicit_accum = accum_steps is not None
     explicit_remat = remat is not None and remat != "auto"
     accum = accum_steps if explicit_accum else 1
     rem = None if (remat in (None, "auto", "none")) else remat
-    if explicit_accum and explicit_remat:
+    if explicit_accum or explicit_remat:
         return accum, rem, "flags"
     entry = (load_policy(policy_path) if policy_path else {}).get(
         train_policy_key(encoder, decoder, batch, dtype))
     if not entry:
-        return accum, rem, "flags" if (explicit_accum or explicit_remat) \
-            else "defaults"
-    if not explicit_accum:
-        accum = int(entry["accum_steps"])
-    if not explicit_remat:
-        rem = entry["remat"]
-    return accum, rem, "policy"
+        return accum, rem, "defaults"
+    return int(entry["accum_steps"]), entry["remat"], "policy"
 
 
 def main(args: Optional[List[str]] = None):

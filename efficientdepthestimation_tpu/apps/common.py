@@ -121,8 +121,16 @@ def _fused_encoder_apply(model):
 
 def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
                   mesh=None, spatial=False, dw_impl="xla", int8=False,
-                  bake_weights=False):
+                  bake_weights=False, preprocess=False):
     """jit'd forward on normalized NHWC images; optional output upsample.
+
+    ``preprocess=True``: the returned fn takes raw **uint8 frames** and runs
+    the PIL-parity eval preprocess (Scale 240 → CenterCrop 228×304 →
+    ImageNet normalize, ``data.transforms.eval_preprocess_image_only``)
+    INSIDE the same program as the forward — the full per-frame pipeline of
+    ``ReSIDE/inference_benchmark.py:156-162`` / ``test_nyu.py`` as one
+    fused executable (uint8 in → depth out), with no host round-trip
+    between preprocess and model.
 
     By default the variables are passed as jit *arguments* (bound here):
     closure-captured **host** weights become constants some runtimes
@@ -196,6 +204,12 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
         dw_impl = "xla"
 
     def fwd(variables, images):
+        if preprocess:
+            from efficientdepthestimation_tpu.data.transforms import (
+                eval_preprocess_image_only,
+            )
+
+            images = eval_preprocess_image_only(images)
         if mesh is not None and spatial:
             images = jax.lax.with_sharding_constraint(images, row_sharding)
         if dtype is not None:
@@ -226,7 +240,7 @@ def make_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
 def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
                          mff_merge: str = "module", dw_impl="xla",
-                         int8=False, bake_weights=False):
+                         int8=False, bake_weights=False, preprocess=False):
     """Hu2018 forward as four chained jit programs (encoder → D → MFF → R).
 
     ``mff_merge``: "module" runs the flax MFF as-is; "grouped"/"blockdiag"
@@ -260,7 +274,7 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     if not isinstance(model, HuDepthModel):
         return make_infer_fn(model, variables,
                              upsample_to=upsample_to, dtype=dtype, int8=int8,
-                             bake_weights=bake_weights)
+                             bake_weights=bake_weights, preprocess=preprocess)
 
     if dtype is not None:
         variables = jax.tree_util.tree_map(
@@ -290,6 +304,12 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
     enc_variant = _efficientnet_variant(model)
 
     def enc_body(v, images):
+        if preprocess:  # uint8 frames → normalized crops, fused into stage 1
+            from efficientdepthestimation_tpu.data.transforms import (
+                eval_preprocess_image_only,
+            )
+
+            images = eval_preprocess_image_only(images)
         if dtype is not None:
             images = images.astype(dtype)
         if dw_impl == "pallas" and enc_variant is not None:
@@ -365,7 +385,7 @@ def make_staged_infer_fn(model, variables, *, upsample_to=None, dtype=None,
 
 def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
                         upsample_to=None, dtype=None, dw_impl="xla",
-                        int8=False, bake_weights=False):
+                        int8=False, bake_weights=False, preprocess=False):
     """Serve arbitrary batch sizes by slicing into ``tile_batch`` tiles.
 
     TPU lane tiling makes batch-128 multiples the throughput sweet spot
@@ -383,7 +403,8 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
     """
     maker = make_staged_infer_fn if staged else make_infer_fn
     base = maker(model, variables, upsample_to=upsample_to, dtype=dtype,
-                 dw_impl=dw_impl, int8=int8, bake_weights=bake_weights)
+                 dw_impl=dw_impl, int8=int8, bake_weights=bake_weights,
+                 preprocess=preprocess)
 
     def infer(images):
         n = images.shape[0]
@@ -401,7 +422,8 @@ def make_tiled_infer_fn(model, variables, *, tile_batch=128, staged=True,
 
 def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
                     dtype=None, mesh=None, spatial=False, dw_impl="xla",
-                    policy_path=None, int8=False, bake_weights=None):
+                    policy_path=None, int8=False, bake_weights=None,
+                    preprocess=False):
     """Pick the fastest measured serving path for (model, batch) automatically.
 
     ``policy_path``: a JSON policy written by ``apps.autotune`` — per-device
@@ -439,7 +461,8 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
         return make_infer_fn(model, variables, upsample_to=upsample_to,
                              dtype=dtype, mesh=mesh, spatial=spatial,
                              dw_impl=dw_impl, int8=int8,
-                             bake_weights=bool(bake_weights))
+                             bake_weights=bool(bake_weights),
+                             preprocess=preprocess)
 
     if policy_path:
         from efficientdepthestimation_tpu.apps.autotune import (
@@ -457,7 +480,7 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
                  "int8": entry.get("int8", False) or int8,
                  "bake_weights": entry.get(
                      "bake_weights", bool(bake_weights))},
-                upsample_to=upsample_to, dtype=dtype)
+                upsample_to=upsample_to, dtype=dtype, preprocess=preprocess)
 
     # Fixed-checkpoint batch serving defaults to constant-baked weights
     # (measured: ENB0-HU 2128→3698 fps, RN50-HU 774→1328 fps at b128 —
@@ -502,12 +525,14 @@ def make_serving_fn(model, variables, *, batch_hint=None, upsample_to=None,
         return make_tiled_infer_fn(model, variables, staged=staged,
                                    upsample_to=upsample_to, dtype=dtype,
                                    dw_impl=dw_impl, int8=int8,
-                                   bake_weights=bake_weights)
+                                   bake_weights=bake_weights,
+                                   preprocess=preprocess)
     if staged:
         return make_staged_infer_fn(model, variables,
                                     upsample_to=upsample_to, dtype=dtype,
                                     dw_impl=dw_impl, int8=int8,
-                                    bake_weights=bake_weights)
+                                    bake_weights=bake_weights,
+                                    preprocess=preprocess)
     return make_infer_fn(model, variables, upsample_to=upsample_to,
                          dtype=dtype, dw_impl=dw_impl, int8=int8,
-                         bake_weights=bake_weights)
+                         bake_weights=bake_weights, preprocess=preprocess)

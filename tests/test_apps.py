@@ -261,6 +261,13 @@ def test_inference_benchmark_app(workspace, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "inference_benchmark.csv"))
     assert os.path.exists(os.path.join(out_dir, "inference_benchmark.tex"))
     assert ("RN18-HU",) in summary.index or "RN18-HU" in summary.index
+    # compile time is its own column (trial 1 no longer smears it into the
+    # steady-state mean) and memory is never a silent 0.0 — on backends
+    # without allocator stats the static reservation is reported and labeled
+    cols = {c[0] for c in summary.columns}
+    assert {"first_call_time", "memory_usage", "memory_source"} <= cols
+    assert float(summary[("memory_usage", "mean")].iloc[0]) > 0
+    assert summary[("memory_source", "first")].iloc[0] in ("live", "static")
 
 
 def test_point_clouds_and_collage_apps(workspace, tmp_path):
@@ -365,3 +372,43 @@ def test_spatial_parallel_serving_matches_single_device(workspace):
     assert len(spatial.sharding.device_set) == mesh.devices.size
     np.testing.assert_allclose(np.asarray(spatial), np.asarray(single),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_preprocess_fused_serving_matches_external(workspace):
+    """make_serving_fn(preprocess=True) — the bench/deployment e2e path —
+    must equal external eval_preprocess_image_only + the plain serving fn,
+    for monolithic, staged, and baked variants."""
+    import jax.numpy as jnp
+
+    from efficientdepthestimation_tpu.apps.common import (
+        make_infer_fn,
+        make_serving_fn,
+        make_staged_infer_fn,
+    )
+    from efficientdepthestimation_tpu.data import eval_preprocess_image_only
+
+    model, variables = load_any_checkpoint(workspace["ckpt"])
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 480, 640, 3),
+                                      dtype=np.uint8))
+    images = eval_preprocess_image_only(frames)
+    ref = np.asarray(make_infer_fn(model, variables,
+                                   upsample_to=(480, 640))(images))
+
+    fused_mono = make_infer_fn(model, variables, upsample_to=(480, 640),
+                               preprocess=True)
+    np.testing.assert_allclose(np.asarray(fused_mono(frames)), ref,
+                               rtol=1e-5, atol=1e-5)
+
+    fused_staged = make_staged_infer_fn(model, variables,
+                                        upsample_to=(480, 640),
+                                        preprocess=True)
+    np.testing.assert_allclose(np.asarray(fused_staged(frames)), ref,
+                               rtol=1e-5, atol=1e-5)
+
+    # bench.py's exact construction (baked weights allowed to reassociate
+    # float ops → tolerance, not bitwise)
+    fused_serving = make_serving_fn(model, variables, batch_hint=2,
+                                    upsample_to=(480, 640), preprocess=True)
+    np.testing.assert_allclose(np.asarray(fused_serving(frames)), ref,
+                               rtol=1e-4, atol=1e-4)

@@ -191,10 +191,16 @@ def test_apply_train_policy_resolution(tmp_path):
     accum, remat, src = apply_train_policy(path, "resnet50", "hu2018", 128,
                                            jnp.bfloat16, 4, "full")
     assert (accum, remat, src) == (4, "full", "flags")
-    # 'none' is an explicit no-remat, policy still fills accum
+    # 'none' is an explicit no-remat; the policy pair was measured JOINTLY
+    # (the grid never pairs accum>1 with remat), so one explicit flag
+    # bypasses the whole entry rather than splicing an unmeasured combo
     accum, remat, src = apply_train_policy(path, "resnet50", "hu2018", 128,
                                            jnp.bfloat16, None, "none")
-    assert (accum, remat, src) == (2, None, "policy")
+    assert (accum, remat, src) == (1, None, "flags")
+    # ...and an explicit accum alone likewise ignores the policy remat
+    accum, remat, src = apply_train_policy(path, "resnet50", "hu2018", 128,
+                                           jnp.bfloat16, 1, "auto")
+    assert (accum, remat, src) == (1, None, "flags")
     # unmeasured key falls back to defaults
     accum, remat, src = apply_train_policy(path, "resnet18", "hu2018", 8,
                                            None, None, "auto")
