@@ -31,6 +31,7 @@ from efficientdepthestimation_tpu.models.resnet import (
     resnet_block_channels,
 )
 from efficientdepthestimation_tpu.models.senet import (
+    SENET_CONFIGS,
     SENetFeatures,
     senet_block_channels,
 )
@@ -69,6 +70,15 @@ def _specs() -> dict[str, EncoderSpec]:
     specs["senet"] = specs["senet154"] = EncoderSpec(
         "senet154", SENetFeatures, tuple(senet_block_channels()),
     )
+    # the rest of the vendored Cadene zoo (ReSIDE/models/senet.py:398-453);
+    # no reference entry point instantiates these (train.py:26-33), present
+    # for zoo parity
+    for name in SENET_CONFIGS:
+        if name != "senet154":
+            specs[name] = EncoderSpec(
+                name, functools.partial(SENetFeatures, variant=name),
+                tuple(senet_block_channels(name)),
+            )
     return specs
 
 

@@ -131,3 +131,51 @@ def test_midas_resnet_checkpoint_parity(rng):
     theirs = _forward_torch(tm, x.transpose(0, 3, 1, 2))[:, 0]
     assert ours.shape == theirs.shape == (1, 56, 72)
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["se_resnet50", "se_resnext50_32x4d"])
+def test_se_variant_hu_checkpoint_parity(rng, variant):
+    """SE-ResNet / SE-ResNeXt rows of the vendored Cadene zoo
+    (ReSIDE/models/senet.py:398-453): 7x7 stem, Caffe stride-on-conv1
+    (SE-ResNet) / grouped-width conv2 (SE-ResNeXt), 1x1 downsamples.
+    Shrunken to one block per stage; depth-only siblings (se_resnet101/152,
+    se_resnext101) share these exact block semantics via SENET_CONFIGS."""
+    import functools
+
+    from efficientdepthestimation_tpu.models.hu2018 import HuDepthModel
+    from efficientdepthestimation_tpu.models.senet import (
+        SENET_CONFIGS,
+        SENetFeatures,
+    )
+
+    cfg = SENET_CONFIGS[variant]
+    tm = randomize_bn_stats(
+        TorchHuModel(TorchSENetFeatures(
+            layers=(1, 1, 1, 1), style=cfg["style"], groups=cfg["groups"],
+            inplanes=cfg["inplanes"], input_3x3=cfg["input_3x3"],
+            down_kernel=cfg["down_kernel"], down_pad=cfg["down_pad"]),
+            2048, [256, 512, 1024, 2048]))
+    sd = {k.replace("se_module.", "se_"): v for k, v in tm.state_dict().items()}
+    buf = _save(sd)
+
+    jm = HuDepthModel(
+        encoder_factory=functools.partial(SENetFeatures, variant=variant,
+                                          layers=(1, 1, 1, 1)),
+        num_features=2048, block_channel=(256, 512, 1024, 2048))
+    model, variables = import_pth(buf, model=jm, example_input_hw=(96, 128))
+
+    x = rng.standard_normal((1, 96, 128, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))[..., 0]
+    theirs = _forward_torch(tm, x.transpose(0, 3, 1, 2))[:, 0]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_se_variant_registry_rows():
+    """Every Cadene config row is buildable through the factory."""
+    from efficientdepthestimation_tpu.models.registry import encoder_spec
+    from efficientdepthestimation_tpu.models.senet import SENET_CONFIGS
+
+    for name in SENET_CONFIGS:
+        spec = encoder_spec(name)
+        assert spec.block_channels == (256, 512, 1024, 2048)
+        assert build_model(name, "hu2018") is not None

@@ -296,14 +296,25 @@ def randomize_bn_stats(model, seed=0):
 
 class TorchSEBottleneck(nn.Module):
     def __init__(self, cin, planes, stride=1, groups=64, reduction=16,
-                 down_kernel=1, down_pad=0):
+                 down_kernel=1, down_pad=0, style="senet", base_width=4):
         super().__init__()
-        self.conv1 = nn.Conv2d(cin, planes * 2, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(planes * 2)
-        self.conv2 = nn.Conv2d(planes * 2, planes * 4, 3, stride, 1,
+        if style == "senet":
+            w1, w2 = planes * 2, planes * 4
+            s1, s2 = 1, stride
+        elif style == "se_resnet":
+            w1 = w2 = planes
+            s1, s2 = stride, 1  # Caffe stride placement (senet.py:160-177)
+        elif style == "se_resnext":
+            w1 = w2 = int(planes * base_width / 64) * groups
+            s1, s2 = 1, stride
+        else:
+            raise ValueError(style)
+        self.conv1 = nn.Conv2d(cin, w1, 1, s1, bias=False)
+        self.bn1 = nn.BatchNorm2d(w1)
+        self.conv2 = nn.Conv2d(w1, w2, 3, s2, 1,
                                groups=groups, bias=False)
-        self.bn2 = nn.BatchNorm2d(planes * 4)
-        self.conv3 = nn.Conv2d(planes * 4, planes * 4, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(w2)
+        self.conv3 = nn.Conv2d(w2, planes * 4, 1, bias=False)
         self.bn3 = nn.BatchNorm2d(planes * 4)
         self.se_module = nn.Module()
         self.se_module.fc1 = nn.Conv2d(planes * 4, planes * 4 // reduction, 1)
@@ -330,31 +341,41 @@ class TorchSEBottleneck(nn.Module):
 class TorchSENetFeatures(nn.Module):
     """Publishes keys through a `base` Sequential like E_senet does."""
 
-    def __init__(self, layers=(3, 8, 36, 3)):
+    def __init__(self, layers=(3, 8, 36, 3), style="senet", groups=64,
+                 inplanes=128, input_3x3=True, down_kernel=3, down_pad=1):
         super().__init__()
         from collections import OrderedDict as OD
 
-        layer0 = nn.Sequential(OD([
-            ("conv1", nn.Conv2d(3, 64, 3, 2, 1, bias=False)),
-            ("bn1", nn.BatchNorm2d(64)),
-            ("relu1", nn.ReLU()),
-            ("conv2", nn.Conv2d(64, 64, 3, 1, 1, bias=False)),
-            ("bn2", nn.BatchNorm2d(64)),
-            ("relu2", nn.ReLU()),
-            ("conv3", nn.Conv2d(64, 128, 3, 1, 1, bias=False)),
-            ("bn3", nn.BatchNorm2d(128)),
-            ("relu3", nn.ReLU()),
-            ("pool", nn.MaxPool2d(3, 2, ceil_mode=True)),
-        ]))
+        if input_3x3:
+            stem = [
+                ("conv1", nn.Conv2d(3, 64, 3, 2, 1, bias=False)),
+                ("bn1", nn.BatchNorm2d(64)),
+                ("relu1", nn.ReLU()),
+                ("conv2", nn.Conv2d(64, 64, 3, 1, 1, bias=False)),
+                ("bn2", nn.BatchNorm2d(64)),
+                ("relu2", nn.ReLU()),
+                ("conv3", nn.Conv2d(64, inplanes, 3, 1, 1, bias=False)),
+                ("bn3", nn.BatchNorm2d(inplanes)),
+                ("relu3", nn.ReLU()),
+            ]
+        else:
+            stem = [
+                ("conv1", nn.Conv2d(3, inplanes, 7, 2, 3, bias=False)),
+                ("bn1", nn.BatchNorm2d(inplanes)),
+                ("relu1", nn.ReLU()),
+            ]
+        layer0 = nn.Sequential(OD(
+            stem + [("pool", nn.MaxPool2d(3, 2, ceil_mode=True))]))
         stages = [layer0]
-        cin = 128
+        cin = inplanes
         for stage, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
             blocks = []
             for i in range(n):
                 stride = 1 if (stage == 0 or i > 0) else 2
-                dk, dp = (1, 0) if stage == 0 else (3, 1)
+                dk, dp = (1, 0) if stage == 0 else (down_kernel, down_pad)
                 blocks.append(TorchSEBottleneck(cin, planes, stride,
-                                                down_kernel=dk, down_pad=dp))
+                                                groups=groups, down_kernel=dk,
+                                                down_pad=dp, style=style))
                 cin = planes * 4
             stages.append(nn.Sequential(*blocks))
         self.base = nn.Sequential(*stages)
