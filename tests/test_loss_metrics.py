@@ -124,3 +124,27 @@ def test_edge_metrics_shapes(rng):
     assert set(m) == {"edge_accuracy", "edge_precision", "edge_recall", "edge_f1"}
     # per-sample sums over the batch (divide by sample count for averages)
     assert 0 <= float(m["edge_precision"]) / 2 <= 1
+
+
+def test_log10_is_the_only_batch_variant_metric(rng):
+    """Bug-compatibility lock: the reference omits the batch_size factor on
+    LOG10's sum alone (util.py:68 vs :57-66,70-73), so the running average
+    makes LOG10 scale ~1/batch while every other metric is batch-invariant.
+    The same 8 samples are tracked at batch 1 vs batch 4; this pins the
+    E2E.md b1-vs-b4 parity exhibit's single discrepancy as intentional."""
+    o = rng.uniform(1.0, 5.0, (8, 8, 8, 1)).astype(np.float32)
+    l = rng.uniform(1.0, 5.0, (8, 8, 8, 1)).astype(np.float32)
+
+    def run(batch):
+        tracker = MetricsTracker()
+        for i in range(0, 8, batch):
+            tracker.update(jnp.asarray(o[i:i + batch]),
+                           jnp.asarray(l[i:i + batch]))
+        return tracker.to_dict()
+
+    d1, d4 = run(1), run(4)
+    variant = {k for k in d1
+               if not np.isclose(d1[k], d4[k], rtol=1e-5, atol=1e-7)}
+    assert variant == {"log10"}
+    # and it scales inversely with batch size, exactly the missing factor
+    assert d1["log10"] == pytest.approx(4 * d4["log10"], rel=1e-5)
