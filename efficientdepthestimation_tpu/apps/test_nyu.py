@@ -24,15 +24,25 @@ from efficientdepthestimation_tpu.utils import AsyncImageWriter
 
 
 def write_depth(image: np.ndarray, path: str):
+    from efficientdepthestimation_tpu.native import encoder
+
+    depth16 = image.astype(np.uint16)
+    if encoder.is_available():
+        return encoder.encode_png(path, depth16)
     from PIL import Image
 
-    Image.fromarray(image.astype(np.uint16)).save(path)
+    Image.fromarray(depth16).save(path)
 
 
 def write_preview(image: np.ndarray, path: str):
+    from efficientdepthestimation_tpu.native import encoder
+
+    gray = (image * 255).astype(np.uint8)
+    if encoder.is_available():
+        return encoder.encode_jpeg(path, gray)
     from PIL import Image
 
-    Image.fromarray((image * 255).astype(np.uint8)).save(path)
+    Image.fromarray(gray).save(path)
 
 
 def main(args: Optional[List[str]] = None):

@@ -1,9 +1,9 @@
-"""Native (C++) runtime components: the batch image decoder.
+"""Native (C++) runtime components: batch image decoder + image/video encoders.
 
-The shared library is built lazily with g++ on first use and cached next to
-the source; bindings are ctypes (no pybind11 in this environment). Falls
-back cleanly — callers check ``is_available()`` and use the PIL path
-otherwise.
+The shared libraries are built lazily with g++ on first use and cached next
+to the source; bindings are ctypes (no pybind11 in this environment). Falls
+back cleanly — callers check ``is_available()`` /
+``encoder.is_available()`` and use the PIL/OpenCV path otherwise.
 """
 
 from efficientdepthestimation_tpu.native.loader import (
@@ -12,3 +12,4 @@ from efficientdepthestimation_tpu.native.loader import (
     is_available,
     build_library,
 )
+from efficientdepthestimation_tpu.native import encoder
