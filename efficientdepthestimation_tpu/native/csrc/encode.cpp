@@ -295,6 +295,173 @@ bool write_mjpeg_avi_impl(const char* path, const uint8_t* frames_rgb,
   return wok;
 }
 
+// Streaming AVI writer: open → append frames → close. The header fields
+// that depend on the frame count (avih dwTotalFrames, strh dwLength, movi
+// LIST size, RIFF size, max-chunk sizes) are patched at close; the index
+// is accumulated in memory and appended last. Lets arbitrarily long videos
+// stream without buffering frames (depth_video's 3840×1440 hstack would
+// not fit in RAM).
+
+struct AviStream {
+  FILE* fp = nullptr;
+  int64_t width = 0, height = 0;
+  int fps = 24, quality = 90;
+  long riff_size_at = 0, total_frames_at = 0, max_bytes_at = 0;
+  long strh_length_at = 0, strh_maxbytes_at = 0, movi_size_at = 0;
+  long avih_sugbuf_at = 0;
+  uint32_t n_frames = 0, max_bytes = 0;
+  uint64_t movi_payload = 0;
+  std::vector<uint8_t> idx;  // idx1 entries (16 bytes per frame)
+};
+
+void patch_u32(FILE* fp, long at, uint32_t v) {
+  fseek(fp, at, SEEK_SET);
+  uint8_t b[4] = {(uint8_t)(v & 0xff), (uint8_t)(v >> 8 & 0xff),
+                  (uint8_t)(v >> 16 & 0xff), (uint8_t)(v >> 24 & 0xff)};
+  fwrite(b, 1, 4, fp);
+}
+
+AviStream* avi_open_impl(const char* path, int64_t height, int64_t width,
+                         int fps, int quality) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return nullptr;
+  auto* s = new AviStream();
+  s->fp = fp;
+  s->width = width;
+  s->height = height;
+  s->fps = fps;
+  s->quality = quality;
+
+  std::vector<uint8_t> hdr;
+  put_tag(hdr, "RIFF");
+  s->riff_size_at = (long)hdr.size();
+  put_u32(hdr, 0);
+  put_tag(hdr, "AVI ");
+
+  std::vector<uint8_t> hdrl;
+  put_tag(hdrl, "hdrl");
+  put_tag(hdrl, "avih");
+  put_u32(hdrl, 56);
+  put_u32(hdrl, fps > 0 ? 1000000u / (uint32_t)fps : 0);
+  const long avih_base = (long)(hdr.size() + 8 + hdrl.size());
+  put_u32(hdrl, 0);  // max bytes/sec — patched
+  s->max_bytes_at = avih_base;
+  put_u32(hdrl, 0);
+  put_u32(hdrl, 0x10);  // AVIF_HASINDEX
+  s->total_frames_at = (long)(hdr.size() + 8 + hdrl.size());
+  put_u32(hdrl, 0);  // total frames — patched
+  put_u32(hdrl, 0);
+  put_u32(hdrl, 1);
+  const long sug_at = (long)(hdr.size() + 8 + hdrl.size());
+  put_u32(hdrl, 0);  // suggested buffer — patched (reuse strh_maxbytes slot list)
+  put_u32(hdrl, (uint32_t)width);
+  put_u32(hdrl, (uint32_t)height);
+  for (int i = 0; i < 4; ++i) put_u32(hdrl, 0);
+
+  std::vector<uint8_t> strl;
+  put_tag(strl, "strl");
+  put_tag(strl, "strh");
+  put_u32(strl, 56);
+  put_tag(strl, "vids");
+  put_tag(strl, "MJPG");
+  put_u32(strl, 0);
+  put_u32(strl, 0);
+  put_u32(strl, 0);
+  put_u32(strl, 1);
+  put_u32(strl, (uint32_t)fps);
+  put_u32(strl, 0);
+  const long strh_len_rel = (long)strl.size();
+  put_u32(strl, 0);  // length — patched
+  const long strh_max_rel = (long)strl.size();
+  put_u32(strl, 0);  // suggested buffer — patched
+  put_u32(strl, 0xFFFFFFFFu);
+  put_u32(strl, 0);
+  put_u32(strl, 0);
+  put_u32(strl, ((uint32_t)height << 16) | (uint32_t)width);
+  put_tag(strl, "strf");
+  put_u32(strl, 40);
+  put_u32(strl, 40);
+  put_u32(strl, (uint32_t)width);
+  put_u32(strl, (uint32_t)height);
+  put_u32(strl, 1u | (24u << 16));
+  put_tag(strl, "MJPG");
+  put_u32(strl, (uint32_t)(width * height * 3));
+  put_u32(strl, 0);
+  put_u32(strl, 0);
+  put_u32(strl, 0);
+  put_u32(strl, 0);
+
+  const long strl_base = (long)(hdr.size() + 8 + hdrl.size() + 8);
+  s->strh_length_at = strl_base + strh_len_rel;
+  s->strh_maxbytes_at = strl_base + strh_max_rel;
+  put_tag(hdrl, "LIST");
+  put_u32(hdrl, (uint32_t)strl.size());
+  hdrl.insert(hdrl.end(), strl.begin(), strl.end());
+
+  put_tag(hdr, "LIST");
+  put_u32(hdr, (uint32_t)hdrl.size());
+  hdr.insert(hdr.end(), hdrl.begin(), hdrl.end());
+
+  put_tag(hdr, "LIST");
+  s->movi_size_at = (long)hdr.size();
+  put_u32(hdr, 0);  // movi size — patched
+  put_tag(hdr, "movi");
+
+  s->avih_sugbuf_at = sug_at;
+  s->idx.reserve(1024);
+  if (fwrite(hdr.data(), 1, hdr.size(), fp) != hdr.size()) {
+    fclose(fp);
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+bool avi_append_impl(AviStream* s, const uint8_t* rgb) {
+  auto j = encode_jpeg_mem(rgb, s->height, s->width, s->quality);
+  if (j.empty()) return false;
+  uint32_t raw = (uint32_t)j.size();
+  uint32_t padded = (raw + 1) & ~1u;
+  std::vector<uint8_t> chunk;
+  put_tag(chunk, "00dc");
+  put_u32(chunk, raw);
+  bool ok = fwrite(chunk.data(), 1, chunk.size(), s->fp) == chunk.size();
+  ok &= fwrite(j.data(), 1, raw, s->fp) == raw;
+  if (padded != raw) ok &= fputc(0, s->fp) != EOF;
+  put_tag(s->idx, "00dc");
+  put_u32(s->idx, 0x10);
+  put_u32(s->idx, 4 + (uint32_t)s->movi_payload);
+  put_u32(s->idx, raw);
+  s->movi_payload += 8 + padded;
+  s->max_bytes = std::max(s->max_bytes, padded);
+  s->n_frames += 1;
+  return ok;
+}
+
+bool avi_close_impl(AviStream* s) {
+  FILE* fp = s->fp;
+  std::vector<uint8_t> idx1;
+  put_tag(idx1, "idx1");
+  put_u32(idx1, (uint32_t)s->idx.size());
+  bool ok = fwrite(idx1.data(), 1, idx1.size(), fp) == idx1.size();
+  ok &= fwrite(s->idx.data(), 1, s->idx.size(), fp) == s->idx.size();
+  long total = ftell(fp);
+  ok &= total > 0;
+  if (ok) {
+    patch_u32(fp, s->riff_size_at, (uint32_t)(total - 8));
+    patch_u32(fp, s->total_frames_at, s->n_frames);
+    patch_u32(fp, s->max_bytes_at,
+              (uint32_t)((uint64_t)s->max_bytes * s->fps));
+    patch_u32(fp, s->avih_sugbuf_at, s->max_bytes);
+    patch_u32(fp, s->strh_length_at, s->n_frames);
+    patch_u32(fp, s->strh_maxbytes_at, s->max_bytes);
+    patch_u32(fp, s->movi_size_at, 4 + (uint32_t)s->movi_payload);
+  }
+  fclose(fp);
+  delete s;
+  return ok;
+}
+
 }  // namespace
 
 extern "C" {
@@ -328,6 +495,22 @@ int ede_write_mjpeg_avi(const char* path, const uint8_t* frames_rgb,
              : 0;
 }
 
-int ede_encoder_version() { return 1; }
+// Streaming AVI: open → append → close. Handle is opaque; close frees it.
+void* ede_avi_open(const char* path, int64_t height, int64_t width, int fps,
+                   int quality) {
+  return avi_open_impl(path, height, width, fps, quality);
+}
+
+int ede_avi_append(void* handle, const uint8_t* frame_rgb) {
+  if (!handle) return 0;
+  return avi_append_impl(static_cast<AviStream*>(handle), frame_rgb) ? 1 : 0;
+}
+
+int ede_avi_close(void* handle) {
+  if (!handle) return 0;
+  return avi_close_impl(static_cast<AviStream*>(handle)) ? 1 : 0;
+}
+
+int ede_encoder_version() { return 2; }
 
 }  // extern "C"

@@ -69,6 +69,13 @@ def _load():
             ctypes.c_char_p, u8p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.ede_avi_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ede_avi_open.restype = ctypes.c_void_p
+        lib.ede_avi_append.argtypes = [ctypes.c_void_p, u8p]
+        lib.ede_avi_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -132,3 +139,51 @@ def write_mjpeg_avi(path: str, frames_rgb: np.ndarray, fps: int = 24,
         n, h, w, int(fps), int(quality), int(threads))
     if not ok:
         raise IOError(f"native MJPEG/AVI encode failed: {path}")
+
+
+class NativeVideoWriter:
+    """Streaming MJPEG/AVI writer: open → append RGB frames → close.
+
+    The container fields that depend on the frame count are patched at
+    close, so arbitrarily long videos stream without buffering
+    (depth_video's 3840×1440 hstack frames would not fit in RAM).
+    """
+
+    def __init__(self, path: str, size_wh: tuple[int, int], fps: int = 24,
+                 quality: int = 90):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native encoder unavailable")
+        self._lib = lib
+        self._w, self._h = int(size_wh[0]), int(size_wh[1])
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._handle = lib.ede_avi_open(path.encode(), self._h, self._w,
+                                        int(fps), int(quality))
+        if not self._handle:
+            raise IOError(f"native AVI open failed: {path}")
+
+    def write(self, frame_rgb: np.ndarray) -> None:
+        frame_rgb = np.ascontiguousarray(frame_rgb)
+        if frame_rgb.dtype != np.uint8 \
+                or frame_rgb.shape != (self._h, self._w, 3):
+            raise ValueError(
+                f"expected uint8 ({self._h}, {self._w}, 3) RGB frame, got "
+                f"{frame_rgb.dtype} {frame_rgb.shape}")
+        ok = self._lib.ede_avi_append(
+            self._handle,
+            frame_rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if not ok:
+            raise IOError("native AVI append failed")
+
+    def release(self) -> None:
+        if self._handle:
+            ok = self._lib.ede_avi_close(self._handle)
+            self._handle = None
+            if not ok:
+                raise IOError("native AVI close failed")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.release()
