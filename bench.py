@@ -121,15 +121,29 @@ def main() -> None:
 
     out = pipeline(frames)
     assert out.shape == (BATCH, 480, 640, 1)
-    for _ in range(WARMUP):
-        out = pipeline(frames)
-    float(jnp.sum(out))  # fence: warmup fully complete before the window
 
+    # Measurement wrapper: the scalar checksum is fused INTO the serving
+    # program (outer jit inlines the serving fn — same HLO + one reduce) and
+    # the carry chains through iterations, so the window costs exactly ONE
+    # dispatch per call and ONE host fetch total. Measured A/B on a
+    # degraded-tunnel day: dispatching separate per-call `jnp.sum` programs
+    # between pipeline calls stalls the dispatch pipeline at ~1,400 fps for
+    # a program whose true rate is ~3,470 (perf: _probe_dispatch A/B;
+    # transport artifact, not device time).
+    @jax.jit
+    def step(frames_u8, carry):
+        return carry + jnp.sum(pipeline(frames_u8))
+
+    carry = jnp.zeros((), jnp.float32)
+    for _ in range(WARMUP):
+        carry = step(frames, carry)
+    float(carry)  # fence: warmup fully complete before the window
+
+    carry = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    outs = [pipeline(frames) for _ in range(ITERS)]
-    # one scalar depending on EVERY call's output; its host fetch closes the
-    # window only when the whole sequence has executed on device
-    final = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+    for _ in range(ITERS):
+        carry = step(frames, carry)
+    final = float(carry)  # forces completion of the full chain
     dt = time.perf_counter() - t0
     assert np.isfinite(final)
 

@@ -145,19 +145,28 @@ def build_serving_candidate(model, variables, spec: dict, *,
 
 
 def _timed_fps(fn, images, batch: int, *, warmup: int = 2, iters: int = 5):
-    """Throughput with forced completion: the timing window closes on a host
-    fetch of one scalar that depends on EVERY call's output (TPU executes
-    in order, but a sum over all outputs makes no ordering assumption)."""
-    outs = [fn(images)]
-    jax.block_until_ready(outs[0])
+    """Throughput with forced completion and MINIMAL extra dispatches.
+
+    The timing window closes on a host fetch of a scalar of the LAST call's
+    output: a TPU executes its programs in dispatch order on one stream, so
+    that fetch forces completion of every earlier call too. Dispatching a
+    separate ``jnp.sum`` between candidate calls (the round-2..4 shape)
+    adds per-call transport latency that penalizes multi-program candidates
+    (staged = 4 dispatches/call, tiled = N) more than monolithic ones —
+    measured ~60 ms/dispatch on a degraded-tunnel day (bench.py A/B),
+    enough to flip rankings. Finiteness is asserted with sums dispatched
+    AFTER the window closes."""
+    out = fn(images)
+    jax.block_until_ready(out)
     for _ in range(warmup):
-        outs.append(fn(images))
-    float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+        out = fn(images)
+    float(jnp.sum(out))  # fence: warmup complete before the window
 
     t0 = time.perf_counter()
     outs = [fn(images) for _ in range(iters)]
-    checksum = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+    float(jnp.sum(outs[-1]))  # in-order execution closes the window
     dt = time.perf_counter() - t0
+    checksum = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
     if not np.isfinite(checksum):
         raise FloatingPointError(f"non-finite serving output ({checksum})")
     return batch * iters / dt

@@ -65,15 +65,26 @@ FAMILIES = [
 
 
 def timed_fps(fn, frames, batch, iters=ITERS, warmup=3):
-    outs = [fn(frames)]
-    jax.block_until_ready(outs[0])
+    """Forced-completion throughput with MINIMAL extra dispatches.
+
+    Dispatching a separate ``jnp.sum`` program between serving calls stalls
+    the tunnel's dispatch pipeline (~60 ms/call measured on a degraded day:
+    1,400 fps for a ~3,470 fps program — bench.py's A/B). A TPU executes
+    its programs in dispatch order on one stream, so fetching a scalar of
+    the LAST call's output forces completion of the whole window; the sums
+    of earlier outputs are dispatched AFTER the window closes only to
+    assert finiteness without perturbing the timing.
+    """
+    out = fn(frames)
+    jax.block_until_ready(out)
     for _ in range(warmup):
-        outs.append(fn(frames))
-    float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+        out = fn(frames)
+    float(jnp.sum(out))  # fence
     t0 = time.perf_counter()
     outs = [fn(frames) for _ in range(iters)]
-    checksum = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
+    float(jnp.sum(outs[-1]))  # in-order execution closes the window
     dt = time.perf_counter() - t0
+    checksum = float(jnp.stack([jnp.sum(o) for o in outs]).sum())
     assert np.isfinite(checksum)
     return batch * iters / dt
 
