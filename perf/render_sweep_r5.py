@@ -5,8 +5,9 @@ encoding — fresh 25-sample sweeps cost ~770 s each with device-render /
 host-encode overlap, bounded by single-core cv2-DIVX + PIL-PNG encoding
 (e2e/E2E.md:179, e2e/timings.json). Round 5 adds C++ encoders (libjpeg
 MJPEG-AVI + libpng level-1 stills, native/csrc/encode.cpp); this probe
-times the SAME ``create_rendered_images`` sweep (25 samples, 640×480,
-60 fps, mesh engine — the r4 E2E configuration) twice on the same machine:
+times the SAME ``create_rendered_images`` sweep (25 samples, 320×240,
+60 fps, mesh engine — the r4 E2E configuration; e2e/render_*.png confirm
+the 320×240 render resolution) twice on the same machine:
 
   * native:   the new default (MJPEG-AVI + native PNG stills)
   * fallback: the r4 path (cv2 DIVX + PIL PNG), forced by disabling the
@@ -37,15 +38,17 @@ SAMPLES = int(os.environ.get("SAMPLES", "25"))
 
 
 def make_loader(n, seed=0):
-    """n synthetic 640×480 room-like samples (image [0,1] + depth metres)."""
+    """n synthetic 240×320 room-like samples (image [0,1] + depth metres) —
+    the r4 E2E's render resolution (e2e/render_*.png are 320×240), so the
+    A/B is apples-to-apples with the committed 770 s sweeps."""
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:480, 0:640]
+    yy, xx = np.mgrid[0:240, 0:320]
     samples = []
     for i in range(n):
         base = (np.sin(xx / (30 + i)) + np.cos(yy / (25 + i))) * 0.25 + 0.5
         image = np.stack([base, base * 0.9, base * 0.8], -1)
-        image += rng.random((480, 640, 3)) * 0.05
-        depth = 2.0 + 2.0 * base + 0.3 * rng.random((480, 640))
+        image += rng.random((240, 320, 3)) * 0.05
+        depth = 2.0 + 2.0 * base + 0.3 * rng.random((240, 320))
         samples.append({"image": np.clip(image, 0, 1).astype(np.float32),
                         "depth": depth.astype(np.float32)})
     return samples
@@ -72,7 +75,7 @@ def main():
     samples = make_loader(SAMPLES)
     work = tempfile.mkdtemp(prefix="render_r5_")
 
-    results = {"samples": SAMPLES, "resolution": "640x480", "fps": 60,
+    results = {"samples": SAMPLES, "resolution": "320x240", "fps": 60,
                "engine": "mesh", "host_cores": os.cpu_count()}
 
     # arm 1: native encoders (new default). Run first so its timing includes
